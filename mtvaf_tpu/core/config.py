@@ -1,0 +1,236 @@
+"""Typed configuration for the framework.
+
+Mirrors the reference argparse surface (MTVAF_training.py:203-281 in the
+reference repo) as a validated dataclass.  Differences from the reference are
+deliberate fixes documented in SURVEY.md §5 "Config / flag system":
+
+* ``use_101 / use_34 / use_18`` are real flags here (the reference reads
+  them from ``args`` but never defines them — models/bert_model.py:216-221).
+* ``fp16`` exists and maps to bf16 mixed precision on TPU (the reference's
+  apex path is dead code — modules/augument.py:46).
+* invalid combinations are rejected at construction instead of crashing at
+  first use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+# Reference label inventories (modules/dataset.py:65,212; models/utils.py:16).
+POLARITY_TO_ID = {"other": 0, "neutral": 1, "positive": 2, "negative": 3, "conflict": 4}
+ID_TO_POLARITY = {v: k for k, v in POLARITY_TO_ID.items()}
+
+# Pipeline A label list (modules/dataset.py:65).
+SPAN_LABEL_LIST = [
+    "O", "EQ", "B-POS", "I-POS", "E-POS", "S-POS", "B-NEG", "I-NEG", "E-NEG",
+    "S-NEG", "B-NEU", "I-NEU", "E-NEU", "S-NEU", "[CLS]", "[SEP]",
+]
+
+# Pipeline B label list (modules/dataset.py:212).
+CRF_LABEL_LIST = [
+    "O", "B-NEU", "I-NEU", "B-POS", "I-POS", "B-NEG", "I-NEG", "X", "[CLS]", "[SEP]",
+]
+
+# Datasets routed to the span pipeline vs the CRF pipeline
+# (MTVAF_training.py:32-50).
+SPAN_DATASETS = ("twitter15", "twitter17")
+CRF_DATASETS = ("twitter2015", "twitter2017")
+
+RESNET_STAGE_CHANNELS = {
+    18: (64, 128, 256, 512),
+    34: (64, 128, 256, 512),
+    50: (256, 512, 1024, 2048),
+    101: (256, 512, 1024, 2048),
+    152: (256, 512, 1024, 2048),
+}
+
+
+@dataclass
+class Config:
+    """Full training configuration.
+
+    Field defaults follow MTVAF_training.py:203-281.
+    """
+
+    # -- model / data selection ------------------------------------------------
+    dataset_name: str = "twitter15"
+    bert_name: str = "bert-base-uncased"
+    num_epochs: int = 35
+    device: str = "tpu"
+    train_batch_size: int = 32
+    eval_batch_size: int = 16
+    lr: float = 5e-5
+    warmup_ratio: float = 0.01
+    eval_begin_epoch: int = 16
+    seed: int = 1
+
+    # -- visual prefix ---------------------------------------------------------
+    prefix_len: int = 4          # number of multi-scale guides; must be 4 when
+                                 # use_prefix (4 ResNet stages, bert_model.py:383)
+    prefix_dim: int = 800        # hidden dim of the prefix MLP (encoder_conv)
+    use_prefix: bool = False
+    use_152: bool = False
+    use_101: bool = False
+    use_34: bool = False
+    use_18: bool = False
+    resnet_root: Optional[str] = None   # directory with torchvision .pth weights
+    vao: bool = False            # ANP KL-divergence supervision (pipeline B)
+    noauxloss: bool = False      # drop the 3 aux-crop ANP losses
+    num_anp_classes: int = 2089  # ANP vocabulary (bert_model.py:458)
+
+    # -- auxiliary text channel ------------------------------------------------
+    use_align: bool = False      # merge visual-context text after [SEP]
+    only_caption: bool = False   # use caption-only merge files
+
+    # -- probe -----------------------------------------------------------------
+    use_probe: bool = False
+    beta: float = 0.5            # CombineLoss super-parameter
+    probe_rank: int = 384        # rank of the PSD probe projection (768/2)
+    probe_layer: int = 7         # hidden layer tapped for the probe
+
+    # -- GCN heads (optional) --------------------------------------------------
+    gcn_layer_number: int = 0    # DiGCNModuleAtt depth
+    num_layers: int = 0          # GCNBert (DualGCN) depth
+    direct: bool = False
+    embed_dim: int = 300
+    post_dim: int = 30
+    pos_dim: int = 30
+    hidden_dim: int = 50
+    input_dropout: float = 0.7
+    gcn_dropout: float = 0.1
+    bert_dropout: float = 0.3
+    alpha: float = 0.25
+    # NOTE: `beta` doubles as the GCNBert penalty weight in the reference.
+
+    # -- augmentation ----------------------------------------------------------
+    do_aug: bool = False
+    aug_type: Optional[str] = None   # span_cutoff | token_cutoff | dim_cutoff
+    aug_cutoff_ratio: float = 0.1
+    aug_ce_loss: float = 1.0
+    aug_js_loss: float = 1.0
+
+    # -- run modes / IO --------------------------------------------------------
+    do_train: bool = False
+    only_test: bool = False
+    load_path: Optional[str] = None
+    save_path: Optional[str] = None
+    use_pretrained: bool = False
+    write_path: Optional[str] = None
+    notes: str = ""
+    cache_dir: str = "data/image_cache_dir/"
+
+    # -- sequence / decoding ---------------------------------------------------
+    max_seq: int = 128
+    max_seq_agn: int = 500
+    ignore_idx: int = -100
+    sample_ratio: float = 1.0
+    do_lower_case: bool = True
+    n_best_size: int = 20
+    max_answer_length: int = 12
+    logit_threshold: float = 8.0
+    filter_type: str = "f1"
+    use_heuristics: bool = True
+    use_nms: bool = True
+    verbose_logging: bool = False
+
+    # -- optimization / distributed --------------------------------------------
+    gradient_accumulation_steps: int = 1
+    fp16: bool = False           # on TPU: bf16 activations (no loss scaling)
+    loss_scale: float = 0.0
+    n_gpu: int = 1               # kept for config-surface parity; unused (SPMD)
+    gpus: int = 1
+    nodes: int = 1
+    local_rank: int = -1
+
+    # -- TPU-native knobs (new) ------------------------------------------------
+    mesh_data: int = 0           # data-parallel mesh axis size; 0 = all devices
+    mesh_model: int = 1          # tensor-parallel axis size (extensible)
+    use_pallas_attention: bool = True
+    bf16: bool = True            # bf16 activations, fp32 params/master
+    cache_prefix_features: bool = True  # ResNet frozen → cache stage features
+    deterministic_eval_images: bool = True  # center crop at eval (survey §5)
+
+    def __post_init__(self):
+        if self.dataset_name not in SPAN_DATASETS + CRF_DATASETS:
+            raise ValueError(f"unknown dataset_name: {self.dataset_name!r}")
+        if self.gradient_accumulation_steps < 1:
+            raise ValueError("gradient_accumulation_steps must be >= 1")
+        if self.use_prefix:
+            if self.prefix_len != 4:
+                raise ValueError(
+                    "use_prefix requires prefix_len == 4 (one guide per ResNet "
+                    "stage; reference models/bert_model.py:383 hard-codes the "
+                    "4-chunk split)")
+            n_variants = sum([self.use_152, self.use_101, self.use_34, self.use_18])
+            if n_variants > 1:
+                raise ValueError("at most one of use_152/use_101/use_34/use_18")
+        if self.do_aug and self.aug_type not in (
+                "span_cutoff", "token_cutoff", "dim_cutoff"):
+            raise ValueError(f"do_aug requires a valid aug_type, got {self.aug_type!r}")
+        if self.filter_type not in ("em", "f1"):
+            raise ValueError(f"filter_type must be 'em' or 'f1', got {self.filter_type!r}")
+        if self.sample_ratio <= 0 or self.sample_ratio > 1:
+            raise ValueError("sample_ratio must be in (0, 1]")
+
+    # ---------------------------------------------------------------------
+    @property
+    def is_span_pipeline(self) -> bool:
+        return self.dataset_name in SPAN_DATASETS
+
+    @property
+    def is_roberta(self) -> bool:
+        return "roberta" in self.bert_name
+
+    @property
+    def resnet_depth(self) -> int:
+        if self.use_152:
+            return 152
+        if self.use_101:
+            return 101
+        if self.use_34:
+            return 34
+        if self.use_18:
+            return 18
+        return 50
+
+    @property
+    def resnet_concat_channels(self) -> int:
+        """Per-stage channel sum after 2x2 pooling concat (3840 or 960)."""
+        return sum(RESNET_STAGE_CHANNELS[self.resnet_depth])
+
+    @property
+    def effective_max_seq(self) -> int:
+        return self.max_seq_agn if self.use_align else self.max_seq
+
+    @property
+    def label_list(self):
+        return list(SPAN_LABEL_LIST if self.is_span_pipeline else CRF_LABEL_LIST)
+
+    @property
+    def num_crf_labels(self) -> int:
+        # Reference: len(label_list) + 1 (labels are 1-indexed; 0 = PAD)
+        return len(CRF_LABEL_LIST) + 1
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def config_from_args(argv=None) -> Config:
+    """Parse the reference CLI flag surface into a Config."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="MTVAF-TPU training")
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(name, action="store_true" if not f.default
+                           else "store_false", dest=f.name)
+        elif f.default is None:
+            p.add_argument(name, default=None, type=str)
+        else:
+            p.add_argument(name, default=f.default, type=type(f.default))
+    args = p.parse_args(argv)
+    return Config(**vars(args))
