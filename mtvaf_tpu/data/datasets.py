@@ -1,0 +1,138 @@
+"""Array-backed datasets and the host batching loop.
+
+TPU-first re-design of ``TVSADataset``/``TVSADataset2`` (reference
+modules/dataset.py:70-138, 279-327): text features are converted once into
+padded numpy arrays; pixel data (or cached ResNet guides) are attached at
+batch time; batches are fixed-size (padded at the tail) so jitted steps never
+retrace.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .features import (attach_gold_candidates, convert_absa_examples,
+                       convert_examples_to_features,
+                       convert_mm_examples_to_features, stack_mm_features,
+                       stack_span_features)
+from .images import ImageStore
+from .readers import (create_mm_examples, read_absa_data, read_agn_data,
+                      read_mmtsv, read_visual_context, sample_dataset)
+from ..core.config import Config
+
+
+@dataclass
+class SpanDataset:
+    """Pipeline A (twitter15/17)."""
+    examples: list
+    features: list
+    arrays: Dict[str, np.ndarray]
+    image_ids: List[str]
+    image_store: Optional[ImageStore]
+
+    @classmethod
+    def load(cls, cfg: Config, tokenizer, data_file: str, *,
+             mode: str = "train", img_dir: Optional[str] = None,
+             aux_dir: Optional[str] = None,
+             aux_map: Optional[dict] = None,
+             agn_file: Optional[str] = None,
+             rng: Optional[np.random.RandomState] = None):
+        dataset = read_absa_data(data_file)
+        if cfg.sample_ratio != 1.0 and mode == "train":
+            import random
+            dataset = sample_dataset(dataset, cfg.sample_ratio,
+                                     random.Random(cfg.seed))
+        if agn_file:
+            dataset = read_agn_data(agn_file, dataset)
+        examples = convert_absa_examples(dataset)
+        features = convert_examples_to_features(
+            examples, tokenizer, cfg.effective_max_seq,
+            is_roberta=cfg.is_roberta)
+        attach_gold_candidates(examples, features, cfg.n_best_size,
+                               cfg.do_lower_case)
+        arrays = stack_span_features(features)
+        image_ids = [f.image_id or "" for f in features]
+        store = None
+        if cfg.use_prefix and img_dir:
+            store = ImageStore(img_dir, aux_dir,
+                               cache_dir=os.path.join(cfg.cache_dir, "img"),
+                               aux_map=aux_map)
+        return cls(examples, features, arrays, image_ids, store)
+
+    def __len__(self):
+        return len(self.features)
+
+
+@dataclass
+class CrfDataset:
+    """Pipeline B (twitter2015/2017)."""
+    examples: list
+    features: list
+    arrays: Dict[str, np.ndarray]
+    image_ids: List[str]
+    image_store: Optional[ImageStore]
+
+    @classmethod
+    def load(cls, cfg: Config, tokenizer, data_file: str, anp_file: str, *,
+             mode: str = "train", img_dir: Optional[str] = None,
+             aux_dir: Optional[str] = None, aux_map: Optional[dict] = None,
+             merge_file: Optional[str] = None):
+        data, imgs, auxlabels, imagelabels = read_mmtsv(data_file, anp_file)
+        vc = read_visual_context(merge_file) if merge_file else None
+        examples = create_mm_examples(data, imgs, auxlabels, imagelabels,
+                                      mode, visual_context=vc)
+        from ..core.config import CRF_LABEL_LIST
+        features = convert_mm_examples_to_features(
+            examples, CRF_LABEL_LIST, CRF_LABEL_LIST, cfg.effective_max_seq,
+            tokenizer, is_roberta=cfg.is_roberta,
+            num_anp_classes=cfg.num_anp_classes)
+        arrays = stack_mm_features(features)
+        image_ids = [f.img_id for f in features]
+        store = None
+        if cfg.use_prefix and img_dir:
+            store = ImageStore(img_dir, aux_dir,
+                               cache_dir=os.path.join(cfg.cache_dir, "img"),
+                               aux_map=aux_map)
+        return cls(examples, features, arrays, image_ids, store)
+
+    def __len__(self):
+        return len(self.features)
+
+
+def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int, *,
+                    shuffle: bool = False, seed: int = 0, epoch: int = 0,
+                    drop_last: bool = False,
+                    pad_to_full: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield fixed-size batches (tail batch padded by repeating the last row,
+    with 'batch_valid' marking real rows) so jit shapes never change."""
+    n = len(next(iter(arrays.values())))
+    idx = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed + epoch).shuffle(idx)
+    for start in range(0, n, batch_size):
+        take = idx[start:start + batch_size]
+        valid = len(take)
+        if valid < batch_size:
+            if drop_last:
+                return
+            if pad_to_full:
+                take = np.concatenate(
+                    [take, np.repeat(take[-1:], batch_size - valid)])
+        batch = {k: v[take] for k, v in arrays.items()}
+        batch["batch_valid"] = (np.arange(len(take)) < valid).astype(np.int32)
+        yield batch
+
+
+def attach_images(batch: Dict[str, np.ndarray], image_ids: Sequence[str],
+                  store: ImageStore, with_aux: bool = True) -> Dict:
+    ids = [image_ids[i] for i in batch["example_index"]]
+    main, aux = store.batch(ids, with_aux=with_aux)
+    batch = dict(batch)
+    batch["images"] = main
+    if aux is not None:
+        batch["aux_images"] = aux
+    return batch

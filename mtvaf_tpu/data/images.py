@@ -1,0 +1,140 @@
+"""Host-side image pipeline feeding device buffers.
+
+Replaces torchvision transforms (reference models/utils.py:593-607):
+Resize(short side 256) → crop 224 → optional horizontal flip → normalize
+with the ImageNet statistics.  Outputs NHWC float32 (TPU-friendly layout).
+
+Deviations (documented, SURVEY.md §5 "Determinism"):
+* eval/test use a deterministic center crop without flip — the reference
+  applies RandomCrop+RandomHorizontalFlip at *all* phases and freezes one
+  random draw into its .tch cache;
+* missing/corrupt images fall back to the reference placeholder image when
+  present, else to zeros (the reference crashes if the placeholder is also
+  missing — modules/dataset.py:110-117).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+PLACEHOLDER = "17_06_4705.jpg"
+CROP = 224
+RESIZE = 256
+
+
+def _load_rgb(path: str) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        if w < h:
+            nw, nh = RESIZE, max(1, round(h * RESIZE / w))
+        else:
+            nh, nw = RESIZE, max(1, round(w * RESIZE / h))
+        im = im.resize((nw, nh), Image.BILINEAR)
+        return np.asarray(im, np.uint8)
+
+
+def _crop(img: np.ndarray, train: bool, rng: Optional[np.random.RandomState]):
+    h, w = img.shape[:2]
+    if train and rng is not None:
+        top = rng.randint(0, max(h - CROP, 0) + 1)
+        left = rng.randint(0, max(w - CROP, 0) + 1)
+    else:
+        top = max((h - CROP) // 2, 0)
+        left = max((w - CROP) // 2, 0)
+    out = img[top:top + CROP, left:left + CROP]
+    if out.shape[:2] != (CROP, CROP):   # image smaller than crop: pad
+        pad = np.zeros((CROP, CROP, 3), np.uint8)
+        pad[:out.shape[0], :out.shape[1]] = out
+        out = pad
+    return out
+
+
+def _normalize(img: np.ndarray) -> np.ndarray:
+    x = img.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def process_image(path: str, *, train: bool = False,
+                  rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """path → (224, 224, 3) float32 normalized array."""
+    img = _load_rgb(path)
+    img = _crop(img, train, rng)
+    if train and rng is not None and rng.rand() < 0.5:
+        img = img[:, ::-1]
+    return _normalize(np.ascontiguousarray(img))
+
+
+class ImageStore:
+    """Resolves image ids to pixel arrays with an on-disk .npy cache.
+
+    The cache mirrors the reference's .tch tensor cache
+    (models/utils.py:631-650) but stores the *deterministic* (eval) transform;
+    train-time randomness is applied per epoch on top of the cached decoded
+    image when ``augment=True``.
+    """
+
+    def __init__(self, img_dir: Optional[str], aux_dir: Optional[str] = None,
+                 cache_dir: Optional[str] = None, *,
+                 aux_map: Optional[Dict[str, List[str]]] = None,
+                 num_aux: int = 3):
+        self.img_dir = img_dir
+        self.aux_dir = aux_dir
+        self.cache_dir = cache_dir
+        self.aux_map = aux_map or {}
+        self.num_aux = num_aux
+        self._placeholder: Optional[np.ndarray] = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+
+    def _cache_path(self, key: str) -> Optional[str]:
+        if not self.cache_dir:
+            return None
+        safe = key.replace("/", "_")
+        return os.path.join(self.cache_dir, safe + ".npy")
+
+    def _placeholder_image(self) -> np.ndarray:
+        if self._placeholder is None:
+            ph_path = os.path.join(self.img_dir or "", PLACEHOLDER)
+            if self.img_dir and os.path.exists(ph_path):
+                self._placeholder = process_image(ph_path)
+            else:
+                self._placeholder = np.zeros((CROP, CROP, 3), np.float32)
+        return self._placeholder
+
+    def _load(self, base_dir: Optional[str], name: str) -> np.ndarray:
+        cache = self._cache_path(name)
+        if cache and os.path.exists(cache):
+            return np.load(cache)
+        path = os.path.join(base_dir or "", name)
+        try:
+            img = process_image(path)
+        except Exception:  # noqa: BLE001  (missing/corrupt image fallback)
+            img = self._placeholder_image()
+        if cache is not None:
+            np.save(cache, img)
+        return img
+
+    def main_image(self, image_id: str) -> np.ndarray:
+        return self._load(self.img_dir, image_id)
+
+    def aux_images(self, image_id: str) -> np.ndarray:
+        """≤3 YOLO crops zero-padded to (num_aux, 224, 224, 3)
+        (reference modules/dataset.py:119-132)."""
+        out = np.zeros((self.num_aux, CROP, CROP, 3), np.float32)
+        paths = self.aux_map.get(image_id, [])
+        for i, p in enumerate(paths[:self.num_aux]):
+            out[i] = self._load(self.aux_dir, p)
+        return out
+
+    def batch(self, image_ids: Sequence[str], with_aux: bool = True):
+        main = np.stack([self.main_image(i) for i in image_ids])
+        aux = np.stack([self.aux_images(i) for i in image_ids]) \
+            if with_aux else None
+        return main, aux

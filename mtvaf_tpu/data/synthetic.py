@@ -1,0 +1,123 @@
+"""Synthetic dataset generator in the reference file formats.
+
+The Twitter2015/2017 data is not redistributable with the repo, so tests and
+benchmarks generate structurally identical data: pipeline-A ``word=TAG``
+files (reference models/utils.py:697-705), pipeline-B ``IMGID:`` TSV with ANP
+JSON (modules/dataset.py:150-209), AGN/merge aux-text files, and random
+images.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+WORDS = ("the phone screen battery camera service staff food pizza room view "
+         "great awful nice slow fast friendly rude amazing terrible crisp "
+         "blurry loud quiet warm cold fresh stale I we they it was is are "
+         "really very so and but with at on in of for").split()
+POLAR = ["POS", "NEG", "NEU"]
+CRF_TYPES = ["POS", "NEG", "NEU"]
+
+
+def _sentence(rng: random.Random, n_words: int) -> List[str]:
+    return [rng.choice(WORDS) for _ in range(n_words)]
+
+
+def make_span_file(path: str, n: int, *, seed: int = 0, max_len: int = 16,
+                   image_ids: Optional[List[str]] = None) -> None:
+    rng = random.Random(seed)
+    lines = []
+    for i in range(n):
+        length = rng.randint(5, max_len)
+        words = _sentence(rng, length)
+        tags = ["O"] * length
+        n_terms = rng.randint(1, min(2, length // 3))
+        used = set()
+        for _ in range(n_terms):
+            start = rng.randint(0, length - 2)
+            width = rng.randint(1, 2)
+            span = set(range(start, min(start + width, length)))
+            if span & used:
+                continue
+            used |= span
+            pol = rng.choice(POLAR)
+            tags[start] = f"T-{pol}-B"
+            for j in range(start + 1, min(start + width, length)):
+                tags[j] = f"T-{pol}"
+        img = image_ids[i % len(image_ids)] if image_ids else f"img_{i}.jpg"
+        pair_str = " ".join(f"{w}={t}" for w, t in zip(words, tags))
+        sent = " ".join(words)
+        lines.append(f"{sent}####{pair_str}____label=[1, 0]____imgid=['{img}']")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def make_crf_files(tsv_path: str, anp_path: str, n: int, *, seed: int = 0,
+                   max_len: int = 14, num_anp: int = 16,
+                   image_ids: Optional[List[str]] = None) -> None:
+    rng = random.Random(seed)
+    lines = []
+    anp: Dict[str, Dict[str, float]] = {}
+    for i in range(n):
+        img = (image_ids[i % len(image_ids)] if image_ids
+               else f"{700000 + i}.jpg")
+        lines.append("IMGID:" + img[:-4])
+        length = rng.randint(4, max_len)
+        words = _sentence(rng, length)
+        tags = ["O"] * length
+        start = rng.randint(0, length - 2)
+        width = rng.randint(1, 2)
+        t = rng.choice(CRF_TYPES)
+        tags[start] = f"B-{t}"
+        for j in range(start + 1, min(start + width, length)):
+            tags[j] = f"I-{t}"
+        for w, tag in zip(words, tags):
+            lines.append(f"{w}\t{tag}")
+        lines.append("")
+        dist = [rng.random() for _ in range(num_anp)]
+        s = sum(dist)
+        anp[img] = {f"anp_{k:04d}": v / s for k, v in enumerate(dist)}
+    with open(tsv_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(anp_path, "w", encoding="utf-8") as f:
+        json.dump(anp, f)
+
+
+def make_merge_file(path: str, image_ids: List[str], *, seed: int = 0) -> None:
+    rng = random.Random(seed)
+    with open(path, "w", encoding="utf-8") as f:
+        for img in image_ids:
+            ctx = " ".join(_sentence(rng, rng.randint(3, 8)))
+            f.write(f"{img} [SEP] {ctx}\n")
+
+
+def make_agn_file(path: str, image_ids: List[str], *, seed: int = 0) -> None:
+    rng = random.Random(seed)
+    with open(path, "w", encoding="utf-8") as f:
+        for img in image_ids:
+            aux = " ".join(_sentence(rng, rng.randint(2, 5)))
+            f.write(f"{img} {aux}\n")
+
+
+def make_images(img_dir: str, image_ids: List[str], *, size: int = 256,
+                seed: int = 0) -> None:
+    import numpy as np
+    from PIL import Image
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    for img in image_ids:
+        arr = rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, img))
+
+
+def make_vocab_file(path: str) -> None:
+    """Small WordPiece vocab covering the synthetic word list."""
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    pieces = sorted(set(WORDS))
+    subwords = sorted({w[:3] for w in pieces if len(w) > 3} |
+                      {"##" + w[3:] for w in pieces if len(w) > 3})
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(specials + pieces + subwords) + "\n")

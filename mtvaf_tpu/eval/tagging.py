@@ -1,0 +1,131 @@
+"""Entity-level tagging metrics (seqeval equivalent).
+
+The reference scores pipeline B with ``seqeval.classification_report`` and
+*parses the micro-avg F1 out of the printed report string*
+(modules/train.py:667-669).  seqeval is not available here; this module
+reimplements its default (IOB2-lenient) entity extraction and micro/macro
+averaged P/R/F1, and renders a compatible report so logs look the same.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+
+def extract_entities(tags: Sequence[str]) -> List[Tuple[str, int, int]]:
+    """IOB2-lenient entity chunks (seqeval default scheme): an entity starts
+    at ``B-type`` or at an ``I-type`` that does not continue a same-type
+    chunk, and spans until the tag type changes."""
+    entities = []
+    start, etype = None, None
+    for i, tag in enumerate(list(tags) + ["O"]):
+        if tag.startswith("B-"):
+            if etype is not None:
+                entities.append((etype, start, i - 1))
+            etype, start = tag[2:], i
+        elif tag.startswith("I-"):
+            t = tag[2:]
+            if etype != t:
+                if etype is not None:
+                    entities.append((etype, start, i - 1))
+                etype, start = t, i
+        else:  # O or end sentinel or anything else
+            if etype is not None:
+                entities.append((etype, start, i - 1))
+            etype, start = None, None
+    return entities
+
+
+def precision_recall_f1(n_correct: float, n_pred: float, n_gold: float):
+    p = n_correct / n_pred if n_pred > 0 else 0.0
+    r = n_correct / n_gold if n_gold > 0 else 0.0
+    f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
+    return p, r, f1
+
+
+def tagging_scores(y_true: Sequence[Sequence[str]],
+                   y_pred: Sequence[Sequence[str]]) -> Dict:
+    """Entity-level micro/macro P/R/F1 + per-type breakdown."""
+    per_type = defaultdict(lambda: {"correct": 0, "pred": 0, "gold": 0})
+    for true_seq, pred_seq in zip(y_true, y_pred):
+        gold = set(extract_entities(true_seq))
+        pred = set(extract_entities(pred_seq))
+        for e in gold:
+            per_type[e[0]]["gold"] += 1
+        for e in pred:
+            per_type[e[0]]["pred"] += 1
+        for e in gold & pred:
+            per_type[e[0]]["correct"] += 1
+
+    types = sorted(per_type)
+    report_rows = {}
+    micro = {"correct": 0, "pred": 0, "gold": 0}
+    macro_p = macro_r = macro_f = 0.0
+    for t in types:
+        c = per_type[t]
+        p, r, f1 = precision_recall_f1(c["correct"], c["pred"], c["gold"])
+        report_rows[t] = {"p": p, "r": r, "f1": f1, "support": c["gold"]}
+        for k in micro:
+            micro[k] += c[k]
+        macro_p += p
+        macro_r += r
+        macro_f += f1
+    n_types = max(len(types), 1)
+    p, r, f1 = precision_recall_f1(micro["correct"], micro["pred"], micro["gold"])
+    return {
+        "micro": {"p": p, "r": r, "f1": f1, "support": micro["gold"]},
+        "macro": {"p": macro_p / n_types, "r": macro_r / n_types,
+                  "f1": macro_f / n_types, "support": micro["gold"]},
+        "per_type": report_rows,
+    }
+
+
+def classification_report(y_true, y_pred, digits: int = 4) -> str:
+    """seqeval-compatible report text (micro avg row carries the score the
+    reference reads — modules/train.py:669)."""
+    scores = tagging_scores(y_true, y_pred)
+    width = max([len(t) for t in scores["per_type"]] + [len("micro avg")])
+    head_fmt = "{:>{width}s} " + " {:>9}" * 4
+    row_fmt = "{:>{width}s} " + " {:>9.{digits}f}" * 3 + " {:>9}\n"
+    out = head_fmt.format("", "precision", "recall", "f1-score", "support",
+                          width=width) + "\n\n"
+    for t, row in scores["per_type"].items():
+        out += row_fmt.format(t, row["p"], row["r"], row["f1"], row["support"],
+                              width=width, digits=digits)
+    out += "\n"
+    for name, row in (("micro avg", scores["micro"]),
+                      ("macro avg", scores["macro"])):
+        out += row_fmt.format(name, row["p"], row["r"], row["f1"],
+                              row["support"], width=width, digits=digits)
+    return out
+
+
+def labels_to_tags(label_ids, mask, inv_label_map: Dict[int, str],
+                   pred_ids=None):
+    """Device label/pred id arrays → y_true/y_pred tag lists, skipping the
+    [CLS] column and stopping at the first pad, excluding X/[SEP]
+    (reference modules/train.py:627-647)."""
+    y_true, y_pred = [], []
+    import numpy as np
+    label_ids = np.asarray(label_ids)
+    mask = np.asarray(mask)
+    if pred_ids is not None:
+        pred_ids = np.asarray(pred_ids)
+    for row in range(label_ids.shape[0]):
+        true_seq, pred_seq = [], []
+        for col in range(label_ids.shape[1]):
+            if col == 0:
+                continue
+            if not mask[row, col]:
+                break
+            tag = inv_label_map.get(int(label_ids[row, col]), "PAD")
+            if tag in ("X", "[SEP]"):
+                continue
+            true_seq.append(tag)
+            if pred_ids is not None:
+                pred_seq.append(inv_label_map.get(int(pred_ids[row, col]), "PAD"))
+        y_true.append(true_seq)
+        if pred_ids is not None:
+            y_pred.append(pred_seq)
+    return (y_true, y_pred) if pred_ids is not None else y_true

@@ -1,0 +1,292 @@
+"""BERT / RoBERTa encoder with visual prefix-KV support, TPU-native.
+
+Reproduces the three deliberate reference edits to HF modeling (SURVEY.md C6):
+  1. ``past_key_values_length`` forced to 0 — the visual prefix never shifts
+     position ids (reference models/modeling_bert.py:1049-1050).
+  2. Prefix KV concatenated to keys/values inside self-attention
+     (reference models/modeling_bert.py:282-286).
+  3. Embedding/encoder split for embedding-space augmentation
+     (reference models/modeling_bert.py:1117-1157).
+
+TPU-first design: the 12 layers run under a single ``lax.scan`` over stacked
+layer parameters (fast compile, one fused layer program); per-layer prefix
+KVs ride the scan as xs with shape ``(L, B, H, P, Dh)``.  The softmax
+attention core is pluggable so the Pallas fused kernel
+(:mod:`mtvaf_tpu.kernels.prefix_attention`) can swap in for the XLA lowering.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (dense, dense_init, dropout, embedding_init,
+                     embedding_lookup, gelu, layer_norm, layer_norm_init,
+                     mask_to_bias)
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    is_roberta: bool = False
+    pad_token_id: int = 0          # roberta: 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def base(is_roberta: bool = False) -> "BertConfig":
+        if is_roberta:
+            return BertConfig(vocab_size=50265, max_position_embeddings=514,
+                              type_vocab_size=1, is_roberta=True, pad_token_id=1)
+        return BertConfig()
+
+    @staticmethod
+    def tiny(is_roberta: bool = False, **kw) -> "BertConfig":
+        """Small config for tests."""
+        base = dict(vocab_size=99, hidden_size=32, num_hidden_layers=4,
+                    num_attention_heads=4, intermediate_size=37,
+                    max_position_embeddings=64)
+        if is_roberta:
+            base.update(type_vocab_size=1, is_roberta=True, pad_token_id=1,
+                        max_position_embeddings=66)
+        base.update(kw)
+        return BertConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# Init.
+
+
+def _layer_init(rng, cfg: BertConfig):
+    ks = jax.random.split(rng, 6)
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    sd = cfg.initializer_range
+    d = partial(dense_init, stddev=sd)
+    return {
+        "attn": {
+            "q": d(ks[0], h, h), "k": d(ks[1], h, h), "v": d(ks[2], h, h),
+            "out": d(ks[3], h, h), "ln": layer_norm_init(h),
+        },
+        "mlp": {
+            "in": d(ks[4], h, i), "out": d(ks[5], i, h),
+            "ln": layer_norm_init(h),
+        },
+    }
+
+
+def init_bert_params(rng, cfg: BertConfig):
+    ks = jax.random.split(rng, cfg.num_hidden_layers + 5)
+    layers = [_layer_init(ks[i], cfg) for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "embeddings": {
+            "word": embedding_init(ks[-5], cfg.vocab_size, cfg.hidden_size,
+                                   stddev=cfg.initializer_range),
+            "position": embedding_init(ks[-4], cfg.max_position_embeddings,
+                                       cfg.hidden_size, stddev=cfg.initializer_range),
+            "token_type": embedding_init(ks[-3], cfg.type_vocab_size,
+                                         cfg.hidden_size, stddev=cfg.initializer_range),
+            "ln": layer_norm_init(cfg.hidden_size),
+        },
+        "layers": stacked,
+        "pooler": dense_init(ks[-2], cfg.hidden_size, cfg.hidden_size,
+                             stddev=cfg.initializer_range),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward.
+
+
+def roberta_position_ids(input_ids, pad_token_id: int):
+    """RoBERTa position ids from input ids: positions count non-pad tokens and
+    offset by padding_idx (reference models/modeling_roberta.py:1706-1718)."""
+    mask = (input_ids != pad_token_id).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + pad_token_id
+
+
+def xla_attention(q, k, v, bias, *, dropout_rate=0.0, rng=None):
+    """Reference softmax attention; XLA fuses this well at these sizes.
+
+    q: (B, H, S, Dh), k/v: (B, H, T, Dh), bias: broadcastable (B, 1|H, 1|S, T).
+    """
+    depth = q.shape[-1]
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k) / math.sqrt(depth)
+    scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    probs = dropout(probs, dropout_rate, rng)
+    return jnp.einsum("bhst,bhtd->bhsd", probs, v)
+
+
+def _split_heads(x, num_heads):
+    b, s, h = x.shape
+    return x.reshape(b, s, num_heads, h // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, nh, s, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, nh * dh)
+
+
+def bert_layer(lp, hidden, bias, cfg: BertConfig, prefix_kv=None, rng=None,
+               attention_impl=xla_attention):
+    """One post-LN transformer layer with optional prefix KV.
+
+    prefix_kv: optional (2, B, H, P, Dh) stacked (key, value) prepended to this
+    layer's keys/values (reference models/modeling_bert.py:282-286).
+    """
+    rngs = [None] * 3 if rng is None else list(jax.random.split(rng, 3))
+
+    q = _split_heads(dense(lp["attn"]["q"], hidden), cfg.num_attention_heads)
+    k = _split_heads(dense(lp["attn"]["k"], hidden), cfg.num_attention_heads)
+    v = _split_heads(dense(lp["attn"]["v"], hidden), cfg.num_attention_heads)
+    if prefix_kv is not None:
+        pk, pv = prefix_kv[0].astype(k.dtype), prefix_kv[1].astype(v.dtype)
+        k = jnp.concatenate([pk, k], axis=2)
+        v = jnp.concatenate([pv, v], axis=2)
+
+    ctx = attention_impl(q, k, v, bias,
+                         dropout_rate=cfg.attention_probs_dropout_prob,
+                         rng=rngs[0])
+    attn_out = dense(lp["attn"]["out"], _merge_heads(ctx))
+    attn_out = dropout(attn_out, cfg.hidden_dropout_prob, rngs[1])
+    hidden = layer_norm(lp["attn"]["ln"], hidden + attn_out,
+                        eps=cfg.layer_norm_eps)
+
+    mlp = gelu(dense(lp["mlp"]["in"], hidden))
+    mlp = dense(lp["mlp"]["out"], mlp)
+    mlp = dropout(mlp, cfg.hidden_dropout_prob, rngs[2])
+    return layer_norm(lp["mlp"]["ln"], hidden + mlp, eps=cfg.layer_norm_eps)
+
+
+def bert_embeddings(params, cfg: BertConfig, input_ids, token_type_ids=None,
+                    position_ids=None, rng=None, dtype=jnp.float32):
+    """Embedding sum + LN + dropout.  Position ids never account for the
+    prefix (reference models/modeling_bert.py:1049-1050)."""
+    emb = params["embeddings"]
+    b, s = input_ids.shape
+    if position_ids is None:
+        if cfg.is_roberta:
+            position_ids = roberta_position_ids(input_ids, cfg.pad_token_id)
+        else:
+            position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros((b, s), jnp.int32)
+    x = (embedding_lookup(emb["word"], input_ids, dtype)
+         + embedding_lookup(emb["position"], position_ids, dtype)
+         + embedding_lookup(emb["token_type"], token_type_ids, dtype))
+    x = layer_norm(emb["ln"], x, eps=cfg.layer_norm_eps)
+    return dropout(x, cfg.hidden_dropout_prob, rng)
+
+
+def bert_encoder(params, cfg: BertConfig, embedding_output, attention_mask,
+                 prefix_kvs=None, rng=None, attention_impl=xla_attention):
+    """Encoder stack under lax.scan.
+
+    attention_mask: (B, P+S) when prefix_kvs given, else (B, S) — the caller
+    prepends the ones-mask for the prefix (reference models/bert_model.py:257-259).
+    prefix_kvs: optional (L, 2, B, H, P, Dh).
+    Returns (last_hidden, all_hidden (L+1, B, S, H)).
+    """
+    bias = mask_to_bias(attention_mask)
+    L = cfg.num_hidden_layers
+
+    if rng is None:
+        layer_rngs = None
+    else:
+        layer_rngs = jax.random.split(rng, L)
+
+    def body(hidden, xs):
+        lp, pkv, lrng = xs
+        new_hidden = bert_layer(lp, hidden, bias, cfg, prefix_kv=pkv, rng=lrng,
+                                attention_impl=attention_impl)
+        return new_hidden, new_hidden
+
+    xs = (params["layers"],
+          prefix_kvs,
+          layer_rngs)
+    if prefix_kvs is None and layer_rngs is None:
+        last, hs = jax.lax.scan(
+            lambda h, lp: body(h, (lp, None, None)), embedding_output,
+            params["layers"])
+    elif prefix_kvs is None:
+        last, hs = jax.lax.scan(
+            lambda h, x: body(h, (x[0], None, x[1])), embedding_output,
+            (params["layers"], layer_rngs))
+    elif layer_rngs is None:
+        last, hs = jax.lax.scan(
+            lambda h, x: body(h, (x[0], x[1], None)), embedding_output,
+            (params["layers"], prefix_kvs))
+    else:
+        last, hs = jax.lax.scan(body, embedding_output, xs)
+
+    all_hidden = jnp.concatenate([embedding_output[None], hs], axis=0)
+    return last, all_hidden
+
+
+def bert_pooler(params, last_hidden):
+    return jnp.tanh(dense(params["pooler"], last_hidden[:, 0]))
+
+
+def bert_model(params, cfg: BertConfig, input_ids, attention_mask=None,
+               token_type_ids=None, prefix_kvs=None, rng=None,
+               dtype=jnp.float32, attention_impl=xla_attention):
+    """Full model: embeddings → encoder → pooler.
+
+    ``attention_mask`` here is the *prompt* attention mask: (B, P+S) when a
+    prefix is attached, (B, S) otherwise.
+    Returns dict(last_hidden_state, hidden_states, pooler_output).
+    """
+    b, s = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    emb_rng, enc_rng = (None, None) if rng is None else jax.random.split(rng)
+    x = bert_embeddings(params, cfg, input_ids, token_type_ids, rng=emb_rng,
+                        dtype=dtype)
+    last, all_hidden = bert_encoder(params, cfg, x, attention_mask,
+                                    prefix_kvs=prefix_kvs, rng=enc_rng,
+                                    attention_impl=attention_impl)
+    return {
+        "last_hidden_state": last,
+        "hidden_states": all_hidden,
+        "pooler_output": bert_pooler(params, last),
+    }
+
+
+def get_embedding_output(params, cfg: BertConfig, input_ids,
+                         token_type_ids=None, rng=None, dtype=jnp.float32):
+    """Embedding half of the split forward (reference
+    models/modeling_bert.py:1117-1125) for cutoff augmentation."""
+    return bert_embeddings(params, cfg, input_ids, token_type_ids, rng=rng,
+                           dtype=dtype)
+
+
+def get_bert_output(params, cfg: BertConfig, embedding_output, attention_mask,
+                    prefix_kvs=None, rng=None, attention_impl=xla_attention):
+    """Encoder half of the split forward (reference
+    models/modeling_bert.py:1127-1157)."""
+    last, all_hidden = bert_encoder(params, cfg, embedding_output,
+                                    attention_mask, prefix_kvs=prefix_kvs,
+                                    rng=rng, attention_impl=attention_impl)
+    return {
+        "last_hidden_state": last,
+        "hidden_states": all_hidden,
+        "pooler_output": bert_pooler(params, last),
+    }

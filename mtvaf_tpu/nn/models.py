@@ -1,0 +1,298 @@
+"""Full models: span ABSA (pipeline A) and CRF tagging (pipeline B).
+
+TPU-native re-design of ``TVNetSAModel`` / ``TVNetSAModel2``
+(reference models/bert_model.py:192-414, 416-588):
+
+* one jitted forward/backward per training step — train-mode span candidates
+  are precomputed in the data pipeline (SURVEY.md §7.1), visual guides for the
+  frozen ResNet are cacheable, and the probe's pseudo-labels are built on
+  device;
+* static shapes everywhere: spans gather ``max_answer_length`` tokens
+  (masked), candidates are padded to ``n_best_size``;
+* the visual branch consumes precomputed stage guides (B, 4, C) so the
+  ResNet runs once per image instead of twice per step as in the reference
+  (modules/train.py:341 + models/bert_model.py:256).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .bert import BertConfig, bert_model, xla_attention
+from .crf import crf_decode, crf_loss, init_crf_params
+from .layers import dense, dense_init, dropout
+from .prefix import anp_kl_loss, build_prefix_kvs, encode_guides, init_prefix_params
+from .probe import combine_loss, init_probe_params, probe_loss
+from .resnet import resnet_stage_guides
+
+
+# ---------------------------------------------------------------------------
+# Shared pieces.
+
+
+def distant_cross_entropy(logits, positions):
+    """Distant-supervision CE over indicator vectors
+    (reference models/bert_model.py:181-190)."""
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    pos = positions.astype(jnp.float32)
+    per_ex = jnp.sum(pos * log_probs, axis=-1) / jnp.maximum(pos.sum(-1), 1e-9)
+    return -jnp.mean(per_ex)
+
+
+def get_span_representation(seq_output, span_starts, span_ends, *,
+                            max_span_width: int):
+    """Gather span token representations with a static width.
+
+    Replaces the reference's dynamic flatten/cumsum gather
+    (models/bert_model.py:147-170) with a per-batch static gather: positions
+    beyond a span's width are masked, so the clamped reads never contribute.
+
+    seq_output (B, S, H); span_starts/ends (B, M) → (B, M, W, H), (B, M, W).
+    """
+    s_len = seq_output.shape[1]
+    width = jnp.arange(max_span_width)[None, None, :]           # (1,1,W)
+    idx = jnp.minimum(span_starts[:, :, None] + width, s_len - 1)
+    span_emb = jnp.take_along_axis(
+        seq_output[:, None, :, :],
+        idx[..., None].repeat(seq_output.shape[-1], -1), axis=2)
+    span_width = span_ends - span_starts + 1                    # (B, M)
+    span_mask = width < span_width[:, :, None]
+    return span_emb, span_mask
+
+
+def self_attentive_pool(span_emb, span_score, span_mask):
+    """Masked self-attentive pooling (reference models/bert_model.py:172-179)."""
+    bias = (1.0 - span_mask.astype(jnp.float32)) * -10000.0
+    probs = jax.nn.softmax(span_score.astype(jnp.float32) + bias, axis=-1)
+    return jnp.einsum("bmw,bmwh->bmh", probs.astype(span_emb.dtype), span_emb)
+
+
+# ---------------------------------------------------------------------------
+# Visual branch helpers.
+
+
+def compute_visual_guides(resnet_params, images, aux_imgs, *, depth: int):
+    """Frozen-ResNet multi-scale guides for a batch.
+
+    images (B, 224, 224, 3); aux_imgs (B, A, 224, 224, 3) or None.
+    Returns (main (B,4,C), aux (B,A,4,C) or None).  The backbone is frozen
+    (reference modules/train.py:485-486) → callers may cache these per image.
+    """
+    main = resnet_stage_guides(resnet_params, images, depth=depth)
+    aux = None
+    if aux_imgs is not None:
+        b, a = aux_imgs.shape[:2]
+        flat = aux_imgs.reshape((b * a,) + aux_imgs.shape[2:])
+        aux = resnet_stage_guides(resnet_params, flat, depth=depth)
+        aux = aux.reshape(b, a, *aux.shape[1:])
+    return main, aux
+
+
+def visual_prompt(prefix_params, main_guides, aux_guides, bert_cfg: BertConfig):
+    """Guides → per-layer prefix KVs + encoded activations for the ANP loss."""
+    kvs, enc_main = build_prefix_kvs(
+        prefix_params, main_guides, aux_guides,
+        num_heads=bert_cfg.num_attention_heads, head_dim=bert_cfg.head_dim)
+    enc_aux = None
+    if aux_guides is not None:
+        b, a = aux_guides.shape[:2]
+        enc_aux = encode_guides(
+            prefix_params, aux_guides.reshape(b * a, *aux_guides.shape[2:]))
+        enc_aux = enc_aux.reshape(b, a, *enc_aux.shape[1:])
+    return kvs, enc_main, enc_aux
+
+
+def prompt_attention_mask(input_mask, prefix_len: int):
+    """Prepend the all-ones prefix mask (reference models/bert_model.py:257-259)."""
+    b = input_mask.shape[0]
+    ones = jnp.ones((b, prefix_len), input_mask.dtype)
+    return jnp.concatenate([ones, input_mask], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline A: span model.
+
+
+def init_span_model_params(rng, cfg, bert_cfg: BertConfig,
+                           bert_params=None) -> Dict:
+    from .bert import init_bert_params
+    ks = jax.random.split(rng, 8)
+    h = bert_cfg.hidden_size
+    params = {
+        "bert": bert_params if bert_params is not None
+        else init_bert_params(ks[0], bert_cfg),
+        "dense": dense_init(ks[1], h, h),
+        "unary_affine": dense_init(ks[2], h, 1),
+        "binary_affine": dense_init(ks[3], h, 2),
+        "classifier": dense_init(ks[4], h, 4),
+    }
+    if cfg.use_prefix:
+        params["prefix"] = init_prefix_params(
+            ks[5], in_channels=cfg.resnet_concat_channels,
+            mid_dim=cfg.prefix_dim, hidden_size=h,
+            num_layers=bert_cfg.num_hidden_layers, with_anp=False)
+    if cfg.use_probe:
+        params["probe"] = init_probe_params(ks[6], h, cfg.probe_rank)
+    return params
+
+
+def span_extraction(params, cfg, bert_cfg: BertConfig, input_ids, input_mask,
+                    segment_ids, prefix_kvs=None, rng=None,
+                    attention_impl=xla_attention, dtype=jnp.float32):
+    """BERT forward → start/end logits (+ sequence output, hidden states)
+    (reference models/bert_model.py:323-361)."""
+    mask = input_mask if prefix_kvs is None else \
+        prompt_attention_mask(input_mask, prefix_kvs.shape[-2])
+    drop_rng, bert_rng = (None, None) if rng is None else jax.random.split(rng)
+    out = bert_model(params["bert"], bert_cfg, input_ids, mask,
+                     token_type_ids=segment_ids, prefix_kvs=prefix_kvs,
+                     rng=bert_rng, dtype=dtype, attention_impl=attention_impl)
+    seq = dropout(out["last_hidden_state"], bert_cfg.hidden_dropout_prob, drop_rng)
+    ae_logits = dense(params["binary_affine"], seq).astype(jnp.float32)
+    start_logits, end_logits = ae_logits[..., 0], ae_logits[..., 1]
+    return start_logits, end_logits, seq, out["hidden_states"]
+
+
+def span_classification(params, cfg, seq_output, span_starts, span_ends,
+                        rng=None):
+    """Span gather → self-attentive pool → dense/tanh → 4-way polarity logits
+    (reference models/bert_model.py:363-376)."""
+    span_emb, span_mask = get_span_representation(
+        seq_output, span_starts, span_ends, max_span_width=cfg.max_answer_length)
+    span_score = dense(params["unary_affine"], span_emb)[..., 0]  # (B,M,W)
+    pooled = self_attentive_pool(span_emb, span_score, span_mask)  # (B,M,H)
+    pooled = jnp.tanh(dense(params["dense"], pooled))
+    pooled = dropout(pooled, 0.1, rng)
+    return dense(params["classifier"], pooled).astype(jnp.float32)  # (B,M,4)
+
+
+def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
+                    visual_guides: Optional[Tuple] = None, rng=None,
+                    attention_impl=xla_attention, dtype=jnp.float32,
+                    epoch_const: Optional[int] = None) -> Dict:
+    """Single-forward training loss (reference runs extraction + full forward
+    per step; here extraction and classification share one BERT pass).
+
+    batch keys: input_ids, input_mask, segment_ids, start_positions,
+    end_positions, span_starts, span_ends, span_labels, span_masks.
+    """
+    rngs = [None] * 3 if rng is None else list(jax.random.split(rng, 3))
+    prefix_kvs = None
+    if cfg.use_prefix and visual_guides is not None:
+        main_g, aux_g = visual_guides
+        prefix_kvs, _, _ = visual_prompt(params["prefix"], main_g, aux_g, bert_cfg)
+
+    start_logits, end_logits, seq, hidden = span_extraction(
+        params, cfg, bert_cfg, batch["input_ids"], batch["input_mask"],
+        batch["segment_ids"], prefix_kvs=prefix_kvs, rng=rngs[0],
+        attention_impl=attention_impl, dtype=dtype)
+
+    ac_logits = span_classification(params, cfg, seq, batch["span_starts"],
+                                    batch["span_ends"], rng=rngs[1])
+
+    start_loss = distant_cross_entropy(start_logits, batch["start_positions"])
+    end_loss = distant_cross_entropy(end_logits, batch["end_positions"])
+    ae_loss = (start_loss + end_loss) / 2
+
+    flat_logits = ac_logits.reshape(-1, 4)
+    flat_labels = batch["span_labels"].reshape(-1)
+    log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
+    ce = -jnp.take_along_axis(log_probs, flat_labels[:, None], axis=1)[:, 0]
+    # Reference quirk kept (models/bert_model.py:302-303): nn.CrossEntropyLoss
+    # mean-reduces BEFORE the mask multiply, so the mask is a no-op and padded
+    # slots train toward class 0 ('other') — acting as a null class for bad
+    # candidates at eval.
+    ac_loss = jnp.mean(ce)
+
+    tot_loss = ae_loss + ac_loss
+    out = {"start_logits": start_logits, "end_logits": end_logits,
+           "ac_logits": ac_logits, "ae_loss": ae_loss, "ac_loss": ac_loss}
+
+    if cfg.use_probe:
+        p_loss = probe_loss(params["probe"], hidden[cfg.probe_layer])
+        out["probe_loss"] = p_loss
+        out["ori_loss"] = tot_loss
+        tot_loss = combine_loss(tot_loss, p_loss, cfg.beta,
+                                epoch_const if epoch_const is not None
+                                else cfg.num_epochs)
+    out["loss"] = tot_loss
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pipeline B: CRF tagging model.
+
+
+def init_crf_model_params(rng, cfg, bert_cfg: BertConfig,
+                          bert_params=None) -> Dict:
+    from .bert import init_bert_params
+    ks = jax.random.split(rng, 6)
+    h = bert_cfg.hidden_size
+    num_labels = cfg.num_crf_labels
+    params = {
+        "bert": bert_params if bert_params is not None
+        else init_bert_params(ks[0], bert_cfg),
+        "fc": dense_init(ks[1], h, num_labels),
+        "crf": init_crf_params(ks[2], num_labels),
+    }
+    if cfg.use_prefix:
+        params["prefix"] = init_prefix_params(
+            ks[3], in_channels=cfg.resnet_concat_channels,
+            mid_dim=cfg.prefix_dim, hidden_size=h,
+            num_layers=bert_cfg.num_hidden_layers, with_anp=cfg.vao,
+            num_anp_classes=cfg.num_anp_classes)
+    if cfg.use_probe:
+        params["probe"] = init_probe_params(ks[4], h, cfg.probe_rank)
+    return params
+
+
+def crf_model_forward(params, cfg, bert_cfg: BertConfig, batch: Dict,
+                      visual_guides: Optional[Tuple] = None, rng=None,
+                      attention_impl=xla_attention, dtype=jnp.float32,
+                      with_loss: bool = True, with_decode: bool = False) -> Dict:
+    """TVNetSAModel2 forward (reference models/bert_model.py:480-532).
+
+    batch keys: input_ids, input_mask, segment_ids, label_ids, imagelabel.
+    """
+    rngs = [None] * 3 if rng is None else list(jax.random.split(rng, 3))
+    prefix_kvs, img_tag_loss = None, 0.0
+    if cfg.use_prefix and visual_guides is not None:
+        main_g, aux_g = visual_guides
+        prefix_kvs, enc_main, enc_aux = visual_prompt(
+            params["prefix"], main_g, aux_g, bert_cfg)
+        if cfg.vao:
+            main_loss, aux_losses = anp_kl_loss(
+                params["prefix"], enc_main, enc_aux, batch["imagelabel"],
+                rng=rngs[2])
+            # noauxloss drops the aux terms (reference models/bert_model.py:489).
+            img_tag_loss = main_loss if cfg.noauxloss \
+                else main_loss + sum(aux_losses)
+
+    mask = batch["input_mask"] if prefix_kvs is None else \
+        prompt_attention_mask(batch["input_mask"], prefix_kvs.shape[-2])
+    out = bert_model(params["bert"], bert_cfg, batch["input_ids"], mask,
+                     token_type_ids=batch["segment_ids"],
+                     prefix_kvs=prefix_kvs, rng=rngs[0], dtype=dtype,
+                     attention_impl=attention_impl)
+    seq = dropout(out["last_hidden_state"], 0.1, rngs[1])
+    emissions = dense(params["fc"], seq).astype(jnp.float32)
+
+    result = {"emissions": emissions}
+    if with_loss:
+        loss = crf_loss(params["crf"], emissions, batch["label_ids"],
+                        batch["input_mask"])
+        if cfg.use_probe:
+            p_loss = probe_loss(params["probe"], out["hidden_states"][cfg.probe_layer])
+            result["probe_loss"] = p_loss
+            loss = combine_loss(loss, p_loss, cfg.beta, 30)
+        result["img_tag_loss"] = cfg.alpha * img_tag_loss
+        result["loss"] = loss + cfg.alpha * img_tag_loss
+    if with_decode:
+        tags, lengths = crf_decode(params["crf"], emissions, batch["input_mask"])
+        result["pred_tags"] = tags
+        result["lengths"] = lengths
+    return result

@@ -1,0 +1,209 @@
+"""Jitted train / eval steps with SPMD data parallelism.
+
+One fused XLA program per step: forward + backward + AdamW update (+ optional
+gradient accumulation as a ``lax.scan`` over micro-batches).  Batches are
+sharded over the mesh 'data' axis; gradients all-reduce over ICI implicitly
+through jit (replacing the reference's NCCL DDP + DataParallelCriterion,
+SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.mesh import batch_sharding, param_sharding, replicated
+from ..nn.bert import BertConfig, xla_attention
+from ..nn.models import (crf_model_forward, span_classification,
+                         span_extraction, span_model_loss)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(params, optimizer) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def _split_guides(batch: Dict):
+    guides = None
+    if "main_guides" in batch:
+        guides = (batch["main_guides"], batch.get("aux_guides"))
+    return guides
+
+
+def make_span_loss_fn(cfg, bert_cfg: BertConfig, attention_impl=xla_attention):
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+
+    def loss_fn(params, batch, rng):
+        out = span_model_loss(params, cfg, bert_cfg, batch,
+                              visual_guides=_split_guides(batch), rng=rng,
+                              attention_impl=attention_impl, dtype=dtype)
+        metrics = {k: out[k] for k in ("loss", "ae_loss", "ac_loss")}
+        if "probe_loss" in out:
+            metrics["probe_loss"] = out["probe_loss"]
+            metrics["ori_loss"] = out["ori_loss"]
+        return out["loss"], metrics
+
+    return loss_fn
+
+
+def make_crf_loss_fn(cfg, bert_cfg: BertConfig, attention_impl=xla_attention):
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+
+    def loss_fn(params, batch, rng):
+        out = crf_model_forward(params, cfg, bert_cfg, batch,
+                                visual_guides=_split_guides(batch), rng=rng,
+                                attention_impl=attention_impl, dtype=dtype)
+        metrics = {"loss": out["loss"]}
+        if "probe_loss" in out:
+            metrics["probe_loss"] = out["probe_loss"]
+        if "img_tag_loss" in out:
+            metrics["img_tag_loss"] = jnp.asarray(out["img_tag_loss"],
+                                                  jnp.float32)
+        return out["loss"], metrics
+
+    return loss_fn
+
+
+def make_train_step(loss_fn: Callable, optimizer, *,
+                    accum_steps: int = 1,
+                    augment_fn: Optional[Callable] = None,
+                    donate: bool = True) -> Callable:
+    """Build the fused train step.
+
+    loss_fn(params, batch, rng) -> (loss, metrics).
+    augment_fn(params, batch, rng, base_loss, base_metrics) -> (loss, metrics)
+    implements cutoff-consistency training on top of the base loss.
+    """
+
+    def compute(params, batch, rng):
+        if augment_fn is None:
+            return loss_fn(params, batch, rng)
+        base_rng, aug_rng = jax.random.split(rng)
+        loss, metrics = loss_fn(params, batch, base_rng)
+        return augment_fn(params, batch, aug_rng, loss, metrics)
+
+    grad_fn = jax.value_and_grad(lambda p, b, r: compute(p, b, r),
+                                 has_aux=True)
+
+    def single_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        (loss, metrics), grads = grad_fn(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda g: jnp.sum(jnp.square(g.astype(jnp.float32))),
+                         grads)) ** 0.5
+        return new_state, metrics
+
+    def accum_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        """batch leaves have leading (accum_steps, micro_bsz, ...)."""
+        def micro(carry, xs):
+            grads_acc, loss_acc = carry
+            micro_batch, micro_rng = xs
+            (loss, _), grads = grad_fn(state.params, micro_batch, micro_rng)
+            grads_acc = jax.tree.map(lambda a, g: a + g, grads_acc, grads)
+            return (grads_acc, loss_acc + loss), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        rngs = jax.random.split(rng, accum_steps)
+        (grads, loss_sum), _ = jax.lax.scan(micro, (zero_grads, 0.0),
+                                            (batch, rngs))
+        grads = jax.tree.map(lambda g: g / accum_steps, grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, {"loss": loss_sum / accum_steps}
+
+    step = accum_step if accum_steps > 1 else single_step
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(loss_fn: Callable) -> Callable:
+    def eval_step(params, batch):
+        loss, metrics = loss_fn(params, batch, None)
+        return metrics
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-A eval stages (device → host → device seam).
+
+
+def make_extraction_step(cfg, bert_cfg: BertConfig,
+                         attention_impl=xla_attention) -> Callable:
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+
+    def extraction(params, batch):
+        prefix_kvs = None
+        guides = _split_guides(batch)
+        if cfg.use_prefix and guides is not None:
+            from ..nn.models import visual_prompt
+            prefix_kvs, _, _ = visual_prompt(params["prefix"], guides[0],
+                                             guides[1], bert_cfg)
+        s, e, seq, _ = span_extraction(
+            params, cfg, bert_cfg, batch["input_ids"], batch["input_mask"],
+            batch["segment_ids"], prefix_kvs=prefix_kvs,
+            attention_impl=attention_impl, dtype=dtype)
+        return s, e, seq
+
+    return jax.jit(extraction)
+
+
+def make_classification_step(cfg, bert_cfg: BertConfig) -> Callable:
+    def classify(params, seq_output, span_starts, span_ends):
+        return span_classification(params, cfg, seq_output, span_starts,
+                                   span_ends)
+    return jax.jit(classify)
+
+
+def make_crf_decode_step(cfg, bert_cfg: BertConfig,
+                         attention_impl=xla_attention) -> Callable:
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+
+    def decode(params, batch):
+        out = crf_model_forward(params, cfg, bert_cfg, batch,
+                                visual_guides=_split_guides(batch), rng=None,
+                                attention_impl=attention_impl, dtype=dtype,
+                                with_loss=True, with_decode=True)
+        return {"loss": out["loss"], "pred_tags": out["pred_tags"],
+                "lengths": out["lengths"]}
+
+    return jax.jit(decode)
+
+
+# ---------------------------------------------------------------------------
+# Sharded-state helpers.
+
+
+def shard_train_state(state: TrainState, mesh) -> TrainState:
+    """Place params/opt state on the mesh with the TP partition rules (pure
+    DP → fully replicated)."""
+    p_sh = param_sharding(mesh, state.params)
+    params = jax.tree.map(jax.device_put, state.params, p_sh,
+                          is_leaf=lambda x: hasattr(x, "shape"))
+    # opt state mirrors params structure where leaves match; replicate rest.
+    def put_opt(leaf):
+        return jax.device_put(leaf, replicated(mesh))
+    opt_state = jax.tree.map(put_opt, state.opt_state)
+    step = jax.device_put(state.step, replicated(mesh))
+    return TrainState(params=params, opt_state=opt_state, step=step)
+
+
+def shard_batch(batch: Dict, mesh) -> Dict:
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
