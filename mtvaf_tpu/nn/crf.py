@@ -138,8 +138,10 @@ def crf_decode(params, emissions, mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
         prev = jnp.take_along_axis(bp, tag[:, None], axis=1)[:, 0]
         return prev.astype(jnp.int32), tag
 
-    _, tags_rev = jax.lax.scan(bwd, last_tag, bps, reverse=True)
-    tags = jnp.concatenate([tags_rev, last_tag[None]], axis=0)     # (S, B)
+    # Reverse scan: ys[i] is the tag at position i+1; the final carry is the
+    # tag at position 0.
+    first_tag, tags_rev = jax.lax.scan(bwd, last_tag, bps, reverse=True)
+    tags = jnp.concatenate([first_tag[None], tags_rev], axis=0)    # (S, B)
     lengths = mask.astype(jnp.int32).sum(axis=1)
     return _time_major(tags), lengths
 

@@ -137,20 +137,50 @@ def init_span_model_params(rng, cfg, bert_cfg: BertConfig,
             num_layers=bert_cfg.num_hidden_layers, with_anp=False)
     if cfg.use_probe:
         params["probe"] = init_probe_params(ks[6], h, cfg.probe_rank)
+    if cfg.gcn_layer_number > 0:
+        from .gcn import init_digcn_params
+        params["digcn"] = init_digcn_params(ks[7], cfg.gcn_layer_number, h)
+    if cfg.num_layers > 0:
+        from .gcn import init_dualgcn_params
+        params["dualgcn"] = init_dualgcn_params(
+            ks[7], cfg.num_layers, h, bert_cfg.num_attention_heads)
     return params
 
 
 def span_extraction(params, cfg, bert_cfg: BertConfig, input_ids, input_mask,
                     segment_ids, prefix_kvs=None, rng=None,
-                    attention_impl=xla_attention, dtype=jnp.float32):
+                    attention_impl=xla_attention, dtype=jnp.float32,
+                    cutoff=None):
     """BERT forward → start/end logits (+ sequence output, hidden states)
-    (reference models/bert_model.py:323-361)."""
-    mask = input_mask if prefix_kvs is None else \
-        prompt_attention_mask(input_mask, prefix_kvs.shape[-2])
+    (reference models/bert_model.py:323-361).
+
+    ``cutoff``: optional (cutoff_fn, rng) applying embedding-space
+    augmentation between the embedding and encoder halves (reference
+    modules/augument.py:54-76).  Deviation (documented): cutoff lengths are
+    computed from the *text* mask; the reference mixes prompt-mask lengths
+    into text-length indexing (modules/augument.py:63-64), which can overrun.
+    """
     drop_rng, bert_rng = (None, None) if rng is None else jax.random.split(rng)
-    out = bert_model(params["bert"], bert_cfg, input_ids, mask,
-                     token_type_ids=segment_ids, prefix_kvs=prefix_kvs,
-                     rng=bert_rng, dtype=dtype, attention_impl=attention_impl)
+    if cutoff is not None:
+        from .bert import bert_embeddings, get_bert_output
+        cutoff_fn, cut_rng = cutoff
+        emb_rng, enc_rng = (None, None) if bert_rng is None \
+            else jax.random.split(bert_rng)
+        embeds = bert_embeddings(params["bert"], bert_cfg, input_ids,
+                                 segment_ids, rng=emb_rng, dtype=dtype)
+        embeds, cut_mask = cutoff_fn(embeds, input_mask, cut_rng)
+        mask = cut_mask if prefix_kvs is None else \
+            prompt_attention_mask(cut_mask, prefix_kvs.shape[-2])
+        out = get_bert_output(params["bert"], bert_cfg, embeds, mask,
+                              prefix_kvs=prefix_kvs, rng=enc_rng,
+                              attention_impl=attention_impl)
+    else:
+        mask = input_mask if prefix_kvs is None else \
+            prompt_attention_mask(input_mask, prefix_kvs.shape[-2])
+        out = bert_model(params["bert"], bert_cfg, input_ids, mask,
+                         token_type_ids=segment_ids, prefix_kvs=prefix_kvs,
+                         rng=bert_rng, dtype=dtype,
+                         attention_impl=attention_impl)
     seq = dropout(out["last_hidden_state"], bert_cfg.hidden_dropout_prob, drop_rng)
     ae_logits = dense(params["binary_affine"], seq).astype(jnp.float32)
     start_logits, end_logits = ae_logits[..., 0], ae_logits[..., 1]
@@ -173,7 +203,7 @@ def span_classification(params, cfg, seq_output, span_starts, span_ends,
 def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
                     visual_guides: Optional[Tuple] = None, rng=None,
                     attention_impl=xla_attention, dtype=jnp.float32,
-                    epoch_const: Optional[int] = None) -> Dict:
+                    epoch_const: Optional[int] = None, cutoff=None) -> Dict:
     """Single-forward training loss (reference runs extraction + full forward
     per step; here extraction and classification share one BERT pass).
 
@@ -189,7 +219,13 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
     start_logits, end_logits, seq, hidden = span_extraction(
         params, cfg, bert_cfg, batch["input_ids"], batch["input_mask"],
         batch["segment_ids"], prefix_kvs=prefix_kvs, rng=rngs[0],
-        attention_impl=attention_impl, dtype=dtype)
+        attention_impl=attention_impl, dtype=dtype, cutoff=cutoff)
+
+    # Optional DiGCN re-encoding of the sequence before classification
+    # (reference models/bert_model.py:270-281).
+    if cfg.gcn_layer_number > 0 and "adjacency_matrix" in batch:
+        from .gcn import digcn_forward
+        seq = digcn_forward(params["digcn"], seq, batch["adjacency_matrix"])
 
     ac_logits = span_classification(params, cfg, seq, batch["span_starts"],
                                     batch["span_ends"], rng=rngs[1])
@@ -211,6 +247,23 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
     tot_loss = ae_loss + ac_loss
     out = {"start_logits": start_logits, "end_logits": end_logits,
            "ac_logits": ac_logits, "ae_loss": ae_loss, "ac_loss": ac_loss}
+
+    # Optional DualGCN auxiliary sentence-polarity loss + penalties
+    # (reference models/bert_model.py:307-309).
+    if cfg.num_layers > 0 and "adj_matrix" in batch:
+        from .gcn import dualgcn_forward
+        from .bert import bert_pooler
+        pooled = bert_pooler(params["bert"], seq)
+        gcn_logits, penal = dualgcn_forward(
+            params["dualgcn"], cfg, seq, pooled, batch["adj_matrix"],
+            batch["src_mask"], batch["aspect_mask"], rng=rngs[2],
+            heads=bert_cfg.num_attention_heads)
+        lp = jax.nn.log_softmax(gcn_logits, axis=-1)
+        tat_loss = -jnp.mean(jnp.take_along_axis(
+            lp, batch["polaritys"][:, None], axis=1)[:, 0])
+        tot_loss = tot_loss + tat_loss + penal
+        out["tat_loss"] = tat_loss
+        out["penal"] = penal
 
     if cfg.use_probe:
         p_loss = probe_loss(params["probe"], hidden[cfg.probe_layer])

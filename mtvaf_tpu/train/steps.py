@@ -46,7 +46,8 @@ def make_span_loss_fn(cfg, bert_cfg: BertConfig, attention_impl=xla_attention):
         out = span_model_loss(params, cfg, bert_cfg, batch,
                               visual_guides=_split_guides(batch), rng=rng,
                               attention_impl=attention_impl, dtype=dtype)
-        metrics = {k: out[k] for k in ("loss", "ae_loss", "ac_loss")}
+        metrics = {k: out[k] for k in ("loss", "ae_loss", "ac_loss",
+                                       "ac_logits")}
         if "probe_loss" in out:
             metrics["probe_loss"] = out["probe_loss"]
             metrics["ori_loss"] = out["ori_loss"]
@@ -62,7 +63,7 @@ def make_crf_loss_fn(cfg, bert_cfg: BertConfig, attention_impl=xla_attention):
         out = crf_model_forward(params, cfg, bert_cfg, batch,
                                 visual_guides=_split_guides(batch), rng=rng,
                                 attention_impl=attention_impl, dtype=dtype)
-        metrics = {"loss": out["loss"]}
+        metrics = {"loss": out["loss"], "emissions": out["emissions"]}
         if "probe_loss" in out:
             metrics["probe_loss"] = out["probe_loss"]
         if "img_tag_loss" in out:

@@ -1,0 +1,238 @@
+"""CRF-pipeline trainer (pipeline B; reference SATrainer2,
+modules/train.py:541-987), TPU-native:
+
+* one jitted forward/backward per step; the CRF NLL runs on device;
+* Viterbi decode for metrics runs as a tiny separate jitted program over the
+  emissions already produced by the step (the reference decodes inside every
+  forward, returning Python lists — models/bert_model.py:511);
+* frozen-ResNet guides cached per image; the ANP (VAO) loss shares the
+  encoded prefix activations with the KV construction.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import load_best, save_best, transplant
+from ..core.config import CRF_LABEL_LIST, Config
+from ..eval.metrics import eval_json
+from ..eval.tagging import classification_report, labels_to_tags, tagging_scores
+from ..nn.bert import BertConfig, xla_attention
+from ..nn.crf import crf_decode
+from .optim import build_optimizer
+from .steps import (create_train_state, make_crf_decode_step, make_crf_loss_fn,
+                    make_train_step)
+from .trainer_span import GuideCache
+
+logger = logging.getLogger(__name__)
+
+
+class CrfTrainer:
+    def __init__(self, cfg: Config, bert_cfg: BertConfig, params, *,
+                 train_dataset=None, dev_dataset=None, test_dataset=None,
+                 resnet_params=None, writer=None,
+                 attention_impl=xla_attention, collect_train_metrics=True):
+        self.cfg = cfg
+        self.bert_cfg = bert_cfg
+        self.train_dataset = train_dataset
+        self.dev_dataset = dev_dataset
+        self.test_dataset = test_dataset
+        self.writer = writer
+        self.collect_train_metrics = collect_train_metrics
+
+        # 1-indexed label map, 0 = PAD (reference MTVAF_training.py:369).
+        self.label_map = {label: i for i, label in
+                          enumerate(CRF_LABEL_LIST, 1)}
+        self.inv_label_map = {i: l for l, i in self.label_map.items()}
+        self.inv_label_map[0] = "PAD"
+
+        steps_per_epoch = 0
+        if train_dataset is not None:
+            steps_per_epoch = max(len(train_dataset) // cfg.train_batch_size, 1)
+        total_steps = max(steps_per_epoch * cfg.num_epochs //
+                          cfg.gradient_accumulation_steps, 1)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.optimizer, self.schedule = build_optimizer(
+            params, cfg, total_steps=total_steps, pipeline="crf")
+        self.state = create_train_state(params, self.optimizer)
+
+        loss_fn = make_crf_loss_fn(cfg, bert_cfg, attention_impl)
+        self.train_step = make_train_step(
+            loss_fn, self.optimizer,
+            accum_steps=cfg.gradient_accumulation_steps)
+        self.decode_step = make_crf_decode_step(cfg, bert_cfg, attention_impl)
+        self._emission_decode = jax.jit(
+            lambda crf_params, emissions, mask: crf_decode(
+                crf_params, emissions, mask))
+
+        self.guide_cache = None
+        if cfg.use_prefix and resnet_params is not None and \
+                train_dataset is not None and train_dataset.image_store:
+            self.guide_cache = GuideCache(resnet_params, cfg.resnet_depth,
+                                          train_dataset.image_store)
+
+        self.best_dev_metric = 0.0
+        self.best_dev_epoch = None
+        self.best_test_metric = 0.0
+        self.best_test_epoch = None
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.last_throughput = 0.0
+
+    # ------------------------------------------------------------------
+    def _attach_guides(self, batch: Dict, dataset) -> Dict:
+        if self.guide_cache is None:
+            return batch
+        ids = [dataset.features[i].img_id for i in batch["example_index"]]
+        main_g, aux_g = self.guide_cache.batch(ids)
+        batch = dict(batch)
+        batch["main_guides"] = main_g
+        batch["aux_guides"] = aux_g
+        return batch
+
+    def _device_batch(self, batch: Dict) -> Dict:
+        drop = ("batch_valid", "auxlabel_ids")
+        return {k: jnp.asarray(v) for k, v in batch.items() if k not in drop}
+
+    def load_pretrained(self, load_path: str):
+        from ..core.checkpoint import load_torch_file
+        source = load_torch_file(load_path)
+        self.state = self.state._replace(
+            params=transplant(self.state.params, source))
+
+    # ------------------------------------------------------------------
+    def train(self):
+        from ..data.datasets import iterate_batches
+        cfg = self.cfg
+        ds = self.train_dataset
+        for epoch in range(1, cfg.num_epochs + 1):
+            y_true, y_pred = [], []
+            epoch_loss, n_steps, n_examples = 0.0, 0, 0
+            t0 = time.time()
+            for batch in iterate_batches(ds.arrays, cfg.train_batch_size,
+                                         shuffle=True, seed=cfg.seed,
+                                         epoch=epoch):
+                batch = self._attach_guides(batch, ds)
+                valid = batch.pop("batch_valid")
+                dev_batch = self._device_batch(batch)
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics = self.train_step(self.state, dev_batch,
+                                                      step_rng)
+                epoch_loss += float(metrics["loss"])
+                n_steps += 1
+                n_examples += int(valid.sum())
+
+                if self.collect_train_metrics:
+                    emissions = metrics.get("emissions")
+                    if emissions is not None:
+                        tags, _ = self._emission_decode(
+                            self.state.params["crf"], emissions,
+                            dev_batch["input_mask"])
+                        yt, yp = labels_to_tags(
+                            batch["label_ids"], batch["input_mask"],
+                            self.inv_label_map, np.asarray(tags))
+                        for j in range(len(yt)):
+                            if valid[j]:
+                                y_true.append(yt[j])
+                                y_pred.append(yp[j])
+
+            dt = time.time() - t0
+            self.last_throughput = n_examples / dt if dt > 0 else 0.0
+            if y_true:
+                scores = tagging_scores(y_true, y_pred)
+                f1 = scores["micro"]["f1"]
+                logger.info("epoch %d train loss %.5f f1 %.4f (%.1f ex/s)",
+                            epoch, epoch_loss / max(n_steps, 1), f1,
+                            self.last_throughput)
+                if self.writer:
+                    self.writer.add_scalar("train_f1", f1, epoch)
+            else:
+                logger.info("epoch %d train loss %.5f (%.1f ex/s)", epoch,
+                            epoch_loss / max(n_steps, 1), self.last_throughput)
+            if self.writer:
+                self.writer.add_scalar("train_loss",
+                                       epoch_loss / max(n_steps, 1), epoch)
+            if epoch >= cfg.eval_begin_epoch:
+                self.evaluate(epoch)
+                self.test(epoch)
+        return self.best_dev_metric
+
+    # ------------------------------------------------------------------
+    def _predict(self, dataset):
+        from ..data.datasets import iterate_batches
+        cfg = self.cfg
+        y_true, y_pred = [], []
+        total_loss, steps = 0.0, 0
+        for batch in iterate_batches(dataset.arrays, cfg.eval_batch_size):
+            batch = self._attach_guides(batch, dataset)
+            valid = batch.pop("batch_valid")
+            dev_batch = self._device_batch(batch)
+            out = self.decode_step(self.state.params, dev_batch)
+            total_loss += float(out["loss"])
+            steps += 1
+            yt, yp = labels_to_tags(batch["label_ids"], batch["input_mask"],
+                                    self.inv_label_map,
+                                    np.asarray(out["pred_tags"]))
+            for j in range(len(yt)):
+                if valid[j]:
+                    y_true.append(yt[j])
+                    y_pred.append(yp[j])
+        return y_true, y_pred, total_loss / max(steps, 1)
+
+    def evaluate(self, epoch: int) -> float:
+        cfg = self.cfg
+        y_true, y_pred, loss = self._predict(self.dev_dataset)
+        report = classification_report(y_true, y_pred, digits=4)
+        f1 = tagging_scores(y_true, y_pred)["micro"]["f1"]
+        logger.info("epoch %d dev f1 %.4f loss %.4f\n%s", epoch, f1, loss,
+                    report)
+        if self.writer:
+            self.writer.add_scalar("dev_f1", f1, epoch)
+            self.writer.add_scalar("dev_loss", loss, epoch)
+        if f1 >= self.best_dev_metric:
+            self.best_dev_metric = f1
+            self.best_dev_epoch = epoch
+            if cfg.save_path:
+                save_best(os.path.join(cfg.save_path, "best_model.npz"),
+                          self.state.params)
+                nbest, errors = eval_json(self.dev_dataset.examples, y_true,
+                                          y_pred)
+                self._write_json(nbest, "dev_predictions.json")
+                self._write_json(errors, "error_dev.json")
+        return f1
+
+    def test(self, epoch: int, load_best_model: bool = False) -> float:
+        cfg = self.cfg
+        if load_best_model and cfg.save_path:
+            best = os.path.join(cfg.save_path, "best_model.npz")
+            if os.path.exists(best):
+                self.state = self.state._replace(
+                    params=load_best(best, self.state.params))
+        y_true, y_pred, loss = self._predict(self.test_dataset)
+        f1 = tagging_scores(y_true, y_pred)["micro"]["f1"]
+        logger.info("epoch %s test f1 %.4f loss %.4f", epoch, f1, loss)
+        if self.writer:
+            self.writer.add_scalar("test_f1", f1)
+            self.writer.add_scalar("test_loss", loss)
+        if f1 >= self.best_test_metric:
+            self.best_test_metric = f1
+            self.best_test_epoch = epoch
+            if cfg.save_path:
+                nbest, errors = eval_json(self.test_dataset.examples, y_true,
+                                          y_pred)
+                self._write_json(nbest, "test_predictions.json")
+                self._write_json(errors, "error_test.json")
+        return f1
+
+    def _write_json(self, obj, name: str):
+        os.makedirs(self.cfg.save_path, exist_ok=True)
+        with open(os.path.join(self.cfg.save_path, name), "w") as f:
+            f.write(json.dumps(obj, indent=4) + "\n")

@@ -15,8 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU platform regardless of
+# JAX_PLATFORMS; override it after import so tests run on the virtual CPU
+# mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def rng_key():
-    import jax
     return jax.random.PRNGKey(0)

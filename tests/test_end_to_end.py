@@ -1,0 +1,79 @@
+"""End-to-end smoke tests: synthetic data → trainer → metrics, both pipelines."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from mtvaf_tpu.core.config import Config
+from mtvaf_tpu.data.datasets import CrfDataset, SpanDataset
+from mtvaf_tpu.data.synthetic import (make_crf_files, make_span_file,
+                                      make_vocab_file)
+from mtvaf_tpu.data.tokenization import FullTokenizer
+from mtvaf_tpu.nn.bert import BertConfig
+from mtvaf_tpu.nn.models import init_crf_model_params, init_span_model_params
+from mtvaf_tpu.train.trainer_crf import CrfTrainer
+from mtvaf_tpu.train.trainer_span import SpanTrainer
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vocab")
+    path = os.path.join(d, "vocab.txt")
+    make_vocab_file(path)
+    return FullTokenizer(path)
+
+
+def test_span_pipeline_end_to_end(tmp_path, tokenizer):
+    train_f = tmp_path / "train.txt"
+    make_span_file(str(train_f), 12, seed=0)
+    cfg = Config(dataset_name="twitter15", max_seq=32, train_batch_size=4,
+                 eval_batch_size=4, num_epochs=2, eval_begin_epoch=1,
+                 n_best_size=8, max_answer_length=4, bf16=False,
+                 save_path=str(tmp_path / "out"), lr=1e-3)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = SpanDataset.load(cfg, tokenizer, str(train_f))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                          dev_dataset=ds, test_dataset=ds)
+    trainer.train()
+    assert trainer.best_dev_epoch is not None
+    f1 = trainer.test()
+    assert 0.0 <= f1 <= 1.0
+    assert os.path.exists(tmp_path / "out" / "best_model.npz")
+    assert os.path.exists(tmp_path / "out" / "dev_predictions.json")
+
+
+def test_crf_pipeline_end_to_end(tmp_path, tokenizer):
+    tsv = tmp_path / "train.txt"
+    anp = tmp_path / "anp.json"
+    make_crf_files(str(tsv), str(anp), 12, seed=0, num_anp=8)
+    cfg = Config(dataset_name="twitter2015", max_seq=32, train_batch_size=4,
+                 eval_batch_size=4, num_epochs=2, eval_begin_epoch=1,
+                 bf16=False, num_anp_classes=8,
+                 save_path=str(tmp_path / "out2"), lr=1e-3)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = CrfDataset.load(cfg, tokenizer, str(tsv), str(anp))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                         dev_dataset=ds, test_dataset=ds)
+    trainer.train()
+    assert trainer.best_dev_epoch is not None
+    assert os.path.exists(tmp_path / "out2" / "best_model.npz")
+
+
+def test_span_pipeline_with_augment(tmp_path, tokenizer):
+    train_f = tmp_path / "train.txt"
+    make_span_file(str(train_f), 8, seed=1)
+    cfg = Config(dataset_name="twitter15", max_seq=32, train_batch_size=4,
+                 eval_batch_size=4, num_epochs=1, eval_begin_epoch=99,
+                 n_best_size=8, max_answer_length=4, bf16=False,
+                 do_aug=True, aug_type="token_cutoff", lr=1e-3)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = SpanDataset.load(cfg, tokenizer, str(train_f))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                          dev_dataset=ds, test_dataset=ds)
+    trainer.train()

@@ -1,0 +1,55 @@
+"""Pallas prefix-KV attention kernel vs XLA reference (interpreter mode on
+CPU; compiled path exercised on real TPU by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtvaf_tpu.nn.bert import xla_attention
+from mtvaf_tpu.nn.layers import mask_to_bias
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def make_inputs(B=1, H=2, S=16, P=4, D=8, seed=0):
+    rng = np.random.RandomState(seed)
+    T = S + P
+    q = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, T, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, T, D), jnp.float32)
+    mask = np.ones((B, T), np.int32)
+    mask[0, -3:] = 0
+    bias = mask_to_bias(jnp.asarray(mask))
+    return q, k, v, bias
+
+
+def test_forward_matches_xla():
+    from mtvaf_tpu.kernels.prefix_attention import prefix_flash_attention
+    q, k, v, bias = make_inputs()
+    with jax.default_matmul_precision("highest"):
+        ref = xla_attention(q, k, v, bias)
+        got = prefix_flash_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_backward_matches_xla():
+    from mtvaf_tpu.kernels.prefix_attention import prefix_flash_attention
+    q, k, v, bias = make_inputs(seed=1)
+
+    def loss(fn, q, k, v):
+        return (fn(q, k, v, bias) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gr = jax.grad(lambda *a: loss(xla_attention, *a), argnums=(0, 1, 2))(q, k, v)
+        gg = jax.grad(lambda *a: loss(prefix_flash_attention, *a),
+                      argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gg):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   rtol=1e-4)
