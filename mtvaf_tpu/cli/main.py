@@ -130,7 +130,9 @@ def main(argv=None):
     from ..train.trainer_span import SpanTrainer
 
     paths = data_paths(cfg, data_root)
-    tokenizer = build_tokenizer(cfg.bert_name, cfg.do_lower_case)
+    from ..native.binding import maybe_accelerate
+    tokenizer = maybe_accelerate(
+        build_tokenizer(cfg.bert_name, cfg.do_lower_case))
     bert_cfg = BertConfig.base(cfg.is_roberta)
     bert_params = load_backbone_params(cfg, bert_cfg)
     resnet_params = load_resnet(cfg) if cfg.use_prefix else None
