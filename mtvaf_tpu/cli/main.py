@@ -106,9 +106,7 @@ def load_resnet(cfg: Config):
     return init_resnet_params(jax.random.PRNGKey(0), depth=depth)
 
 
-def main(argv=None):
-    import argparse
-
+def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
     # Accept --data_root in addition to the Config surface.
     argv = list(sys.argv[1:] if argv is None else argv)
     data_root = "data"
@@ -133,7 +131,7 @@ def main(argv=None):
     from ..native.binding import maybe_accelerate
     tokenizer = maybe_accelerate(
         build_tokenizer(cfg.bert_name, cfg.do_lower_case))
-    bert_cfg = BertConfig.base(cfg.is_roberta)
+    bert_cfg = bert_cfg_override or BertConfig.base(cfg.is_roberta)
     bert_params = load_backbone_params(cfg, bert_cfg)
     resnet_params = load_resnet(cfg) if cfg.use_prefix else None
 
@@ -165,18 +163,24 @@ def main(argv=None):
             img_dir=paths["img_dir"], aux_dir=paths["aux_dir"][mode],
             aux_map=load_aux_map(paths["aux_map"][mode]), merge_file=merge)
 
+    def maybe_load_probe(params):
+        if cfg.use_probe and cfg.probe_ckpt and os.path.exists(cfg.probe_ckpt):
+            from ..core.convert import load_probe_checkpoint
+            params["probe"] = load_probe_checkpoint(cfg.probe_ckpt)
+        return params
+
     if cfg.is_span_pipeline:
         train_d, dev_d, test_d = span_ds("train"), span_ds("dev"), span_ds("test")
-        params = init_span_model_params(rng, cfg, bert_cfg,
-                                        bert_params=bert_params)
+        params = maybe_load_probe(init_span_model_params(
+            rng, cfg, bert_cfg, bert_params=bert_params))
         trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=train_d,
                               dev_dataset=dev_d, test_dataset=test_d,
                               resnet_params=resnet_params, writer=writer,
                               attention_impl=attention_impl)
     else:
         train_d, dev_d, test_d = crf_ds("train"), crf_ds("dev"), crf_ds("test")
-        params = init_crf_model_params(rng, cfg, bert_cfg,
-                                       bert_params=bert_params)
+        params = maybe_load_probe(init_crf_model_params(
+            rng, cfg, bert_cfg, bert_params=bert_params))
         trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=train_d,
                              dev_dataset=dev_d, test_dataset=test_d,
                              resnet_params=resnet_params, writer=writer,

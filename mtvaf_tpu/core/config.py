@@ -90,6 +90,8 @@ class Config:
     beta: float = 0.5            # CombineLoss super-parameter
     probe_rank: int = 384        # rank of the PSD probe projection (768/2)
     probe_layer: int = 7         # hidden layer tapped for the probe
+    probe_ckpt: Optional[str] = None  # pretrained psdProbe .pt to warm-start
+                                      # (reference models/bert_model.py:474-475)
 
     # -- GCN heads (optional) --------------------------------------------------
     gcn_layer_number: int = 0    # DiGCNModuleAtt depth
@@ -226,8 +228,12 @@ def config_from_args(argv=None) -> Config:
     for f in dataclasses.fields(Config):
         name = "--" + f.name
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(name, action="store_true" if not f.default
-                           else "store_false", dest=f.name)
+            # --flag sets True, --no_flag sets False (default from Config).
+            group = p.add_mutually_exclusive_group()
+            group.add_argument(name, dest=f.name, action="store_true",
+                               default=f.default)
+            group.add_argument("--no_" + f.name, dest=f.name,
+                               action="store_false")
         elif f.default is None:
             p.add_argument(name, default=None, type=str)
         else:

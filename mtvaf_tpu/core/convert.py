@@ -123,6 +123,44 @@ def resnet_params_from_torch(sd: Mapping, block_counts) -> Dict:
     return params
 
 
+def load_probe_checkpoint(path: str) -> Dict:
+    """Load a reference psdProbe checkpoint (.pt pickling the ``probe``
+    wrapper module) and convert it.
+
+    The reference checkpoints pickle instances of classes from its local
+    ``probe_trainModel``/``probe``/``constructLabel`` modules; stub modules
+    with matching class names are registered so unpickling succeeds without
+    the reference on the path.
+    """
+    import sys
+    import types
+
+    import torch
+    from torch import nn
+
+    stubs = {}
+    for mod_name, class_names in (
+            ("probe_trainModel", ("probe",)),
+            ("probe", ("OneWordPSDProbe", "TwoWordPSDProbe",
+                       "OneWordNonPSDProbe", "TwoWordNonPSDProbe", "Probe")),
+            ("constructLabel", ("ConstructLabelGaget",)),
+            ("loss", ("CombineLoss",)),
+            ("probe_loss", ("buff_Loss",))):
+        if mod_name in sys.modules:
+            continue
+        mod = types.ModuleType(mod_name)
+        for cname in class_names:
+            mod.__dict__[cname] = type(cname, (nn.Module,), {})
+        sys.modules[mod_name] = mod
+        stubs[mod_name] = mod
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+    return probe_params_from_torch(obj)
+
+
 def probe_params_from_torch(obj) -> Dict:
     """psdProbe checkpoint (state dict or module) → {'proj': (768, rank)}.
 

@@ -1,0 +1,73 @@
+"""CLI smoke test: full synthetic data tree → main() → artifacts."""
+
+import json
+import os
+
+import pytest
+
+from mtvaf_tpu.data.synthetic import (make_crf_files, make_span_file,
+                                      make_vocab_file)
+from mtvaf_tpu.nn.bert import BertConfig
+
+
+@pytest.fixture
+def data_tree(tmp_path):
+    """Reference-layout data tree (MTVAF_training.py:52-107)."""
+    root = tmp_path / "data"
+    base15 = root / "twitter2015"
+    (base15 / "twitter2015").mkdir(parents=True)
+    for mode, fname in (("train", "train.txt"), ("dev", "valid.txt"),
+                        ("test", "test.txt")):
+        make_crf_files(str(base15 / "twitter2015" / fname),
+                       str(tmp_path / f"anp_{mode}.json"), 8,
+                       seed=hash(mode) % 100, num_anp=8)
+        make_span_file(str(base15 / fname), 8, seed=hash(mode) % 100)
+    anp_dir = root / "ANP_data"
+    anp_dir.mkdir()
+    # merge all mode anp files
+    merged = {}
+    for mode in ("train", "dev", "test"):
+        with open(tmp_path / f"anp_{mode}.json") as f:
+            merged.update(json.load(f))
+    with open(anp_dir / "image_output2015.json", "w") as f:
+        json.dump(merged, f)
+
+    bert_dir = tmp_path / "bert"
+    bert_dir.mkdir()
+    make_vocab_file(str(bert_dir / "vocab.txt"))
+    return root, bert_dir
+
+
+def test_cli_crf_pipeline(tmp_path, data_tree):
+    from mtvaf_tpu.cli.main import main
+    from mtvaf_tpu.data.tokenization import load_vocab
+
+    root, bert_dir = data_tree
+    vocab_size = len(load_vocab(str(bert_dir / "vocab.txt")))
+    save = tmp_path / "out"
+    argv = ["--dataset_name", "twitter2015", "--do_train",
+            "--bert_name", str(bert_dir), "--num_epochs", "1",
+            "--eval_begin_epoch", "1", "--train_batch_size", "4",
+            "--eval_batch_size", "4", "--max_seq", "32",
+            "--save_path", str(save), "--data_root", str(root), "--no_bf16"]
+    main(argv, bert_cfg_override=BertConfig.tiny(vocab_size=vocab_size))
+    assert (save / "best_model.npz").exists()
+    assert (save / "dev_predictions.json").exists()
+
+
+def test_cli_span_pipeline(tmp_path, data_tree):
+    from mtvaf_tpu.cli.main import main
+    from mtvaf_tpu.data.tokenization import load_vocab
+
+    root, bert_dir = data_tree
+    vocab_size = len(load_vocab(str(bert_dir / "vocab.txt")))
+    save = tmp_path / "out_span"
+    argv = ["--dataset_name", "twitter15", "--do_train",
+            "--bert_name", str(bert_dir), "--num_epochs", "1",
+            "--eval_begin_epoch", "1", "--train_batch_size", "4",
+            "--eval_batch_size", "4", "--max_seq", "32",
+            "--n_best_size", "8", "--max_answer_length", "4",
+            "--save_path", str(save), "--data_root", str(root), "--no_bf16"]
+    main(argv, bert_cfg_override=BertConfig.tiny(vocab_size=vocab_size))
+    assert (save / "best_model.npz").exists()
+    assert (save / "test_predictions.json").exists()
