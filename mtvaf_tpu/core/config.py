@@ -154,6 +154,8 @@ class Config:
     bf16: bool = True            # bf16 activations, fp32 params/master
     cache_prefix_features: bool = True  # ResNet frozen → cache stage features
     deterministic_eval_images: bool = True  # center crop at eval (survey §5)
+    profile_dir: Optional[str] = None   # jax.profiler trace output directory
+    profile_steps: int = 5              # trace window length (train steps)
 
     def __post_init__(self):
         if self.dataset_name not in SPAN_DATASETS + CRF_DATASETS:

@@ -39,48 +39,60 @@ def _time_major(x):
 
 
 def crf_sequence_score(params, emissions, tags, mask):
-    """Unnormalized score of a tag sequence.  emissions (B,S,N) fp32,
-    tags (B,S) int, mask (B,S) in {0,1} with mask[:,0]=1."""
+    """Unnormalized score of a tag sequence, fully vectorized (no scan).
+
+    emissions (B,S,N) fp32, tags (B,S) int, mask (B,S) in {0,1} with
+    mask[:,0]=1 and contiguous (padding only at the tail — true for every
+    dataset here; torchcrf has the same mask[:,0] requirement).
+    """
     emissions = emissions.astype(jnp.float32)
-    e_t = _time_major(emissions)       # (S, B, N)
-    tags_t = _time_major(tags)         # (S, B)
-    mask_t = _time_major(mask).astype(jnp.float32)
+    b, s, _ = emissions.shape
+    maskf = mask.astype(jnp.float32)
 
-    first_tags = tags_t[0]
-    score0 = params["start"][first_tags] + \
-        jnp.take_along_axis(e_t[0], first_tags[:, None], axis=1)[:, 0]
+    emit = jnp.take_along_axis(emissions, tags[..., None], axis=2)[..., 0]
+    emit_score = (emit * maskf).sum(axis=1)
 
-    def body(carry, xs):
-        score, prev_tags = carry
-        e_i, tags_i, m_i = xs
-        trans = params["transitions"][prev_tags, tags_i]
-        emit = jnp.take_along_axis(e_i, tags_i[:, None], axis=1)[:, 0]
-        score = score + (trans + emit) * m_i
-        prev_tags = jnp.where(m_i > 0, tags_i, prev_tags)
-        return (score, prev_tags), None
+    trans = params["transitions"][tags[:, :-1], tags[:, 1:]]   # (B, S-1)
+    trans_score = (trans * maskf[:, 1:]).sum(axis=1)
 
-    (score, last_tags), _ = jax.lax.scan(
-        body, (score0, first_tags), (e_t[1:], tags_t[1:], mask_t[1:]))
-    return score + params["end"][last_tags]
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+    last_tags = jnp.take_along_axis(tags, (lengths - 1)[:, None], axis=1)[:, 0]
+    return (params["start"][tags[:, 0]] + emit_score + trans_score
+            + params["end"][last_tags])
 
 
 def crf_log_normalizer(params, emissions, mask):
-    """log Z via the forward algorithm (logsumexp recursion)."""
+    """log Z via the forward algorithm.
+
+    TPU-first: instead of a sequential S-step scan (latency-bound at tiny N),
+    the recursion is a log-semiring matrix product evaluated with
+    ``lax.associative_scan`` — log2(S) levels of batched (B, N, N)
+    logsumexp-matmuls.  Masked steps contribute the semiring identity so the
+    result matches the masked sequential recursion exactly.
+    """
     emissions = emissions.astype(jnp.float32)
-    e_t = _time_major(emissions)
-    mask_t = _time_major(mask).astype(jnp.float32)
+    b, s, n = emissions.shape
+    maskf = mask.astype(jnp.float32)
 
-    alpha0 = params["start"][None, :] + e_t[0]   # (B, N)
+    alpha0 = params["start"][None, :] + emissions[:, 0]       # (B, N)
+    if s == 1:
+        return jax.nn.logsumexp(alpha0 + params["end"][None, :], axis=1)
 
-    def body(alpha, xs):
-        e_i, m_i = xs
-        # (B, prev N, next N)
-        scores = alpha[:, :, None] + params["transitions"][None] + e_i[:, None, :]
-        new_alpha = jax.nn.logsumexp(scores, axis=1)
-        alpha = jnp.where(m_i[:, None] > 0, new_alpha, alpha)
-        return alpha, None
+    # Step matrices M_i[prev, next] = trans[prev, next] + e_i[next] for real
+    # steps; identity (0 diag / -inf off) for masked steps.
+    mats = params["transitions"][None, None] + \
+        emissions[:, 1:, None, :]                             # (B, S-1, N, N)
+    ident = jnp.where(jnp.eye(n, dtype=bool), 0.0, NEG_INF)
+    mats = jnp.where(maskf[:, 1:, None, None] > 0, mats, ident[None, None])
 
-    alpha, _ = jax.lax.scan(body, alpha0, (e_t[1:], mask_t[1:]))
+    def combine(a, b_):
+        # log-semiring matmul: (B, T, N, N) ⊗ (B, T, N, N)
+        return jax.nn.logsumexp(a[..., :, :, None] + b_[..., None, :, :],
+                                axis=-2)
+
+    prefix = jax.lax.associative_scan(combine, mats, axis=1)
+    final = prefix[:, -1]                                     # (B, N, N)
+    alpha = jax.nn.logsumexp(alpha0[:, :, None] + final, axis=1)
     return jax.nn.logsumexp(alpha + params["end"][None, :], axis=1)
 
 

@@ -111,8 +111,10 @@ class CrfTrainer:
     # ------------------------------------------------------------------
     def train(self):
         from ..data.datasets import iterate_batches
+        from .profiling import StepProfiler
         cfg = self.cfg
         ds = self.train_dataset
+        profiler = StepProfiler(cfg.profile_dir, num_steps=cfg.profile_steps)
         for epoch in range(1, cfg.num_epochs + 1):
             y_true, y_pred = [], []
             epoch_loss, n_steps, n_examples = 0.0, 0, 0
@@ -124,8 +126,10 @@ class CrfTrainer:
                 valid = batch.pop("batch_valid")
                 dev_batch = self._device_batch(batch)
                 self.rng, step_rng = jax.random.split(self.rng)
+                profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,
                                                       step_rng)
+                profiler.step_end(metrics["loss"])
                 epoch_loss += float(metrics["loss"])
                 n_steps += 1
                 n_examples += int(valid.sum())

@@ -134,8 +134,10 @@ class SpanTrainer:
 
     def train(self):
         from ..data.datasets import iterate_batches
+        from .profiling import StepProfiler
         cfg = self.cfg
         ds = self.train_dataset
+        profiler = StepProfiler(cfg.profile_dir, num_steps=cfg.profile_steps)
         t_start = time.time()
         n_examples = 0
         for epoch in range(1, cfg.num_epochs + 1):
@@ -148,8 +150,10 @@ class SpanTrainer:
                 valid = batch.pop("batch_valid")
                 dev_batch = self._device_batch(batch)
                 self.rng, step_rng = jax.random.split(self.rng)
+                profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,
                                                       step_rng)
+                profiler.step_end(metrics["loss"])
                 epoch_loss += float(metrics["loss"])
                 n_steps += 1
                 n_examples += int(valid.sum())
