@@ -156,6 +156,8 @@ class Config:
     deterministic_eval_images: bool = True  # center crop at eval (survey §5)
     profile_dir: Optional[str] = None   # jax.profiler trace output directory
     profile_steps: int = 5              # trace window length (train steps)
+    save_checkpoints: bool = False      # full train-state checkpoint per epoch
+    resume: bool = False                # resume from latest checkpoint
 
     def __post_init__(self):
         if self.dataset_name not in SPAN_DATASETS + CRF_DATASETS:

@@ -113,6 +113,24 @@ def make_images(img_dir: str, image_ids: List[str], *, size: int = 256,
         Image.fromarray(arr).save(os.path.join(img_dir, img))
 
 
+def make_roberta_vocab(dir_path: str) -> None:
+    """Tiny byte-level BPE vocab (vocab.json + merges.txt) covering the
+    synthetic word list: specials + single characters + a few merges."""
+    import string
+    os.makedirs(dir_path, exist_ok=True)
+    tokens = ["<s>", "<pad>", "</s>", "<unk>", "<mask>"]
+    tokens += list(string.ascii_lowercase) + list(string.ascii_uppercase)
+    tokens += list(string.digits) + list("!#=',.?[]()-_/")
+    tokens += ["Ġ"]                       # 'Ġ' space marker
+    tokens += ["Ġ" + c for c in string.ascii_lowercase]
+    merges = [f"Ġ {c}" for c in string.ascii_lowercase]
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(tokens))}
+    with open(os.path.join(dir_path, "vocab.json"), "w", encoding="utf-8") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(dir_path, "merges.txt"), "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n" + "\n".join(merges) + "\n")
+
+
 def make_vocab_file(path: str) -> None:
     """Small WordPiece vocab covering the synthetic word list."""
     specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]

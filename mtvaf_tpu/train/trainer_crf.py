@@ -112,10 +112,20 @@ class CrfTrainer:
     def train(self):
         from ..data.datasets import iterate_batches
         from .profiling import StepProfiler
+        from .resume import load_latest_checkpoint, save_epoch_checkpoint
         cfg = self.cfg
         ds = self.train_dataset
         profiler = StepProfiler(cfg.profile_dir, num_steps=cfg.profile_steps)
-        for epoch in range(1, cfg.num_epochs + 1):
+        start_epoch = 1
+        if cfg.resume and cfg.save_path:
+            state, start_epoch, meta = load_latest_checkpoint(
+                cfg.save_path, self.state)
+            if state is not None:
+                self.state = state
+                self.best_dev_metric = meta.get("best_dev_metric", 0.0)
+                self.best_test_metric = meta.get("best_test_metric", 0.0)
+                logger.info("resumed from epoch %d", start_epoch - 1)
+        for epoch in range(start_epoch, cfg.num_epochs + 1):
             y_true, y_pred = [], []
             epoch_loss, n_steps, n_examples = 0.0, 0, 0
             t0 = time.time()
@@ -167,6 +177,11 @@ class CrfTrainer:
             if epoch >= cfg.eval_begin_epoch:
                 self.evaluate(epoch)
                 self.test(epoch)
+            if cfg.save_checkpoints and cfg.save_path:
+                save_epoch_checkpoint(
+                    cfg.save_path, self.state, epoch,
+                    {"best_dev_metric": self.best_dev_metric,
+                     "best_test_metric": self.best_test_metric})
         return self.best_dev_metric
 
     # ------------------------------------------------------------------

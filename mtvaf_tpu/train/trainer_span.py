@@ -135,12 +135,21 @@ class SpanTrainer:
     def train(self):
         from ..data.datasets import iterate_batches
         from .profiling import StepProfiler
+        from .resume import load_latest_checkpoint, save_epoch_checkpoint
         cfg = self.cfg
         ds = self.train_dataset
         profiler = StepProfiler(cfg.profile_dir, num_steps=cfg.profile_steps)
         t_start = time.time()
         n_examples = 0
-        for epoch in range(1, cfg.num_epochs + 1):
+        start_epoch = 1
+        if cfg.resume and cfg.save_path:
+            state, start_epoch, meta = load_latest_checkpoint(
+                cfg.save_path, self.state)
+            if state is not None:
+                self.state = state
+                self.best_dev_metric = meta.get("best_dev_metric", 0.0)
+                logger.info("resumed from epoch %d", start_epoch - 1)
+        for epoch in range(start_epoch, cfg.num_epochs + 1):
             all_results = []
             epoch_loss, n_steps = 0.0, 0
             for batch in iterate_batches(ds.arrays, cfg.train_batch_size,
@@ -188,6 +197,10 @@ class SpanTrainer:
                 self._write_json(nbest, "train_predictions.json")
             if epoch >= cfg.eval_begin_epoch:
                 self.evaluate(epoch)
+            if cfg.save_checkpoints and cfg.save_path:
+                save_epoch_checkpoint(
+                    cfg.save_path, self.state, epoch,
+                    {"best_dev_metric": self.best_dev_metric})
         return self.best_dev_metric
 
     # ------------------------------------------------------------------

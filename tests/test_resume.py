@@ -1,0 +1,60 @@
+"""Checkpoint/resume tests: interrupted training continues from the saved
+epoch with optimizer state intact."""
+
+import os
+
+import numpy as np
+
+import jax
+
+from mtvaf_tpu.core.config import Config
+from mtvaf_tpu.data.datasets import CrfDataset
+from mtvaf_tpu.data.synthetic import make_crf_files, make_vocab_file
+from mtvaf_tpu.data.tokenization import FullTokenizer
+from mtvaf_tpu.nn.bert import BertConfig
+from mtvaf_tpu.nn.models import init_crf_model_params
+from mtvaf_tpu.train.trainer_crf import CrfTrainer
+
+
+def build(tmp_path, num_epochs, resume=False):
+    tsv = tmp_path / "train.txt"
+    anp = tmp_path / "anp.json"
+    if not tsv.exists():
+        make_crf_files(str(tsv), str(anp), 8, seed=0, num_anp=8)
+        make_vocab_file(str(tmp_path / "vocab.txt"))
+    tokenizer = FullTokenizer(str(tmp_path / "vocab.txt"))
+    cfg = Config(dataset_name="twitter2015", max_seq=24, train_batch_size=4,
+                 eval_batch_size=4, num_epochs=num_epochs, eval_begin_epoch=99,
+                 bf16=False, num_anp_classes=8, lr=1e-3,
+                 save_path=str(tmp_path / "out"), save_checkpoints=True,
+                 resume=resume)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = CrfDataset.load(cfg, tokenizer, str(tsv), str(anp))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    return CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                      dev_dataset=ds, test_dataset=ds)
+
+
+def test_resume_continues_training(tmp_path):
+    # Phase 1: 2 epochs with checkpointing.
+    t1 = build(tmp_path, num_epochs=2)
+    t1.train()
+    assert os.path.isdir(tmp_path / "out" / "ckpt")
+    step_after_2 = int(t1.state.step)
+    assert step_after_2 == 2 * 2  # 8 examples / batch 4 = 2 steps per epoch
+
+    # Phase 2: resume with num_epochs=4 → continues from epoch 3.
+    t2 = build(tmp_path, num_epochs=4, resume=True)
+    t2.train()
+    assert int(t2.state.step) == 4 * 2
+    # resumed params differ from fresh init (they continued, not restarted)
+    fresh = build(tmp_path, num_epochs=4)
+    a = np.asarray(t2.state.params["fc"]["kernel"])
+    b = np.asarray(fresh.state.params["fc"]["kernel"])
+    assert not np.allclose(a, b)
+
+
+def test_resume_noop_without_checkpoints(tmp_path):
+    t = build(tmp_path, num_epochs=1, resume=True)
+    t.train()  # no checkpoint present → starts from epoch 1
+    assert int(t.state.step) == 2

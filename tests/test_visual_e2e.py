@@ -1,0 +1,82 @@
+"""End-to-end visual-prefix pipeline: images on disk → ResNet guides →
+prefix KVs → trainer, exercising GuideCache and the aux-crop map."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from mtvaf_tpu.core.config import Config
+from mtvaf_tpu.data.datasets import CrfDataset
+from mtvaf_tpu.data.synthetic import (make_crf_files, make_images,
+                                      make_vocab_file)
+from mtvaf_tpu.data.tokenization import FullTokenizer
+from mtvaf_tpu.nn.bert import BertConfig
+from mtvaf_tpu.nn.models import init_crf_model_params
+from mtvaf_tpu.nn.resnet import init_resnet_params
+from mtvaf_tpu.train.trainer_crf import CrfTrainer
+
+
+def test_crf_trainer_with_visual_prefix(tmp_path):
+    img_ids = [f"{700000 + i}.jpg" for i in range(4)]
+    img_dir = tmp_path / "imgs"
+    aux_dir = tmp_path / "aux"
+    make_images(str(img_dir), img_ids, size=96)
+    aux_names = [f"crop_{i}.jpg" for i in range(3)]
+    make_images(str(aux_dir), aux_names, size=96)
+    aux_map = {img_ids[0]: aux_names[:2], img_ids[1]: aux_names}
+
+    tsv = tmp_path / "train.txt"
+    anp = tmp_path / "anp.json"
+    make_crf_files(str(tsv), str(anp), 6, seed=0, num_anp=8,
+                   image_ids=img_ids)
+
+    vocab = tmp_path / "vocab.txt"
+    make_vocab_file(str(vocab))
+    tokenizer = FullTokenizer(str(vocab))
+
+    cfg = Config(dataset_name="twitter2015", use_prefix=True, use_18=True,
+                 vao=True, prefix_len=4, num_anp_classes=8, max_seq=24,
+                 train_batch_size=2, eval_batch_size=2, num_epochs=1,
+                 eval_begin_epoch=99, bf16=False,
+                 cache_dir=str(tmp_path / "cache"))
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+
+    ds = CrfDataset.load(cfg, tokenizer, str(tsv), str(anp),
+                         img_dir=str(img_dir), aux_dir=str(aux_dir),
+                         aux_map=aux_map)
+    assert ds.image_store is not None
+
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet_params = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                         dev_dataset=ds, test_dataset=ds,
+                         resnet_params=resnet_params)
+    assert trainer.guide_cache is not None
+    trainer.train()
+    # guides cached per unique image (4 images + placeholder-fallbacks)
+    assert len(trainer.guide_cache._cache) >= 4
+    # image .npy cache written
+    assert os.path.isdir(tmp_path / "cache" / "img")
+
+
+def test_missing_image_falls_back(tmp_path):
+    from mtvaf_tpu.data.images import ImageStore
+    store = ImageStore(str(tmp_path), None)
+    img = store.main_image("does_not_exist.jpg")
+    assert img.shape == (224, 224, 3)
+    np.testing.assert_array_equal(img, np.zeros((224, 224, 3), np.float32))
+
+
+def test_aux_map_torch_pth_roundtrip(tmp_path):
+    """CLI aux-map loading reads the reference's torch-dict format
+    (modules/dataset.py:36-37)."""
+    torch = pytest.importorskip("torch")
+    from mtvaf_tpu.cli.main import load_aux_map
+    path = str(tmp_path / "dict.pth")
+    torch.save({"a.jpg": ["crop1.jpg", "crop2.jpg"]}, path)
+    m = load_aux_map(path)
+    assert m == {"a.jpg": ["crop1.jpg", "crop2.jpg"]}
+    assert load_aux_map(str(tmp_path / "missing.pth")) is None
