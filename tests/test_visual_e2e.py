@@ -62,6 +62,42 @@ def test_crf_trainer_with_visual_prefix(tmp_path):
     assert os.path.isdir(tmp_path / "cache" / "img")
 
 
+def test_span_trainer_with_visual_prefix(tmp_path):
+    from mtvaf_tpu.data.datasets import SpanDataset
+    from mtvaf_tpu.data.synthetic import make_span_file
+    from mtvaf_tpu.train.trainer_span import SpanTrainer
+    from mtvaf_tpu.nn.models import init_span_model_params
+
+    img_ids = [f"img_{i}.jpg" for i in range(3)]
+    img_dir = tmp_path / "imgs"
+    make_images(str(img_dir), img_ids, size=96)
+    train_f = tmp_path / "train.txt"
+    make_span_file(str(train_f), 6, seed=0, image_ids=img_ids)
+    vocab = tmp_path / "vocab.txt"
+    make_vocab_file(str(vocab))
+    tokenizer = FullTokenizer(str(vocab))
+
+    cfg = Config(dataset_name="twitter15", use_prefix=True, use_18=True,
+                 prefix_len=4, max_seq=24, train_batch_size=2,
+                 eval_batch_size=2, num_epochs=1, eval_begin_epoch=1,
+                 n_best_size=6, max_answer_length=4, bf16=False,
+                 cache_dir=str(tmp_path / "cache"),
+                 save_path=str(tmp_path / "out"))
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = SpanDataset.load(cfg, tokenizer, str(train_f),
+                          img_dir=str(img_dir), aux_dir=str(img_dir),
+                          aux_map={img_ids[0]: [img_ids[1]]})
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet_params = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                          dev_dataset=ds, test_dataset=ds,
+                          resnet_params=resnet_params)
+    assert trainer.guide_cache is not None
+    trainer.train()
+    f1 = trainer.test()
+    assert 0.0 <= f1 <= 1.0
+
+
 def test_missing_image_falls_back(tmp_path):
     from mtvaf_tpu.data.images import ImageStore
     store = ImageStore(str(tmp_path), None)
