@@ -49,6 +49,8 @@ def data_paths(cfg: Config, data_root: str) -> dict:
         "caption": {m: os.path.join(data_root, "AGN_data", f"twitter{year}",
                                     f"{year[2:]}_{m}_caption.txt")
                     for m in ("train", "dev", "test")},
+        "gcn": {m: os.path.join(base, f"twitter{year[2:]}_{m}.json")
+                for m in ("train", "dev", "test")},
     }
     if name in ("twitter2015", "twitter2017"):
         paths.update({
@@ -148,11 +150,16 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
     rng = jax.random.PRNGKey(cfg.seed)
 
     def span_ds(mode):
+        gcn_file = None
+        if (cfg.num_layers > 0 or cfg.gcn_layer_number > 0) and \
+                os.path.exists(paths["gcn"][mode]):
+            gcn_file = paths["gcn"][mode]
         return SpanDataset.load(
             cfg, tokenizer, paths[mode], mode=mode, img_dir=paths["img_dir"],
             aux_dir=paths["aux_dir"][mode],
             aux_map=load_aux_map(paths["aux_map"][mode]),
-            agn_file=paths["agn"][mode] if cfg.use_align else None)
+            agn_file=paths["agn"][mode] if cfg.use_align else None,
+            gcn_file=gcn_file)
 
     def crf_ds(mode):
         merge = None

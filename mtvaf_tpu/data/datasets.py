@@ -40,6 +40,7 @@ class SpanDataset:
              aux_dir: Optional[str] = None,
              aux_map: Optional[dict] = None,
              agn_file: Optional[str] = None,
+             gcn_file: Optional[str] = None,
              rng: Optional[np.random.RandomState] = None):
         dataset = read_absa_data(data_file)
         if cfg.sample_ratio != 1.0 and mode == "train":
@@ -55,6 +56,9 @@ class SpanDataset:
         attach_gold_candidates(examples, features, cfg.n_best_size,
                                cfg.do_lower_case)
         arrays = stack_span_features(features)
+        if gcn_file:
+            arrays.update(load_gcn_arrays(gcn_file, features,
+                                          cfg.effective_max_seq))
         image_ids = [f.image_id or "" for f in features]
         store = None
         if cfg.use_prefix and img_dir:
@@ -101,6 +105,41 @@ class CrfDataset:
 
     def __len__(self):
         return len(self.features)
+
+
+def load_gcn_arrays(gcn_file: str, features, max_seq: int) -> Dict[str, np.ndarray]:
+    """Load per-example GCN side data (dependency adjacency, source/aspect
+    masks, sentence polarity) and pad to the static sequence width.
+
+    Format: JSON list of dicts with keys ``adj_matrix`` (LxL), ``src_mask``
+    (L), ``aspect_mask`` (L), ``polarity`` (int) — the structure the
+    reference indexes per example (models/utils.py:674-679).  Entries align
+    with the *kept* examples (those with aspect terms), same as features.
+    """
+    import json as _json
+    with open(gcn_file, encoding="utf-8") as f:
+        records = _json.load(f)
+    n = len(features)
+    adj = np.zeros((n, max_seq, max_seq), np.float32)
+    src = np.zeros((n, max_seq), np.int32)
+    asp = np.zeros((n, max_seq), np.int32)
+    pol = np.zeros((n,), np.int32)
+    for i, feat in enumerate(features):
+        rec = records[feat.example_index] if feat.example_index < len(records) \
+            else None
+        if rec is None:
+            continue
+        a = np.asarray(rec.get("adj_matrix", []), np.float32)
+        L = min(a.shape[0] if a.ndim == 2 else 0, max_seq)
+        if L:
+            adj[i, :L, :L] = a[:L, :L]
+        s = np.asarray(rec.get("src_mask", []), np.int32)[:max_seq]
+        src[i, :len(s)] = s
+        m = np.asarray(rec.get("aspect_mask", []), np.int32)[:max_seq]
+        asp[i, :len(m)] = m
+        pol[i] = int(rec.get("polarity", 0))
+    return {"adj_matrix": adj, "src_mask": src, "aspect_mask": asp,
+            "polaritys": pol, "adjacency_matrix": adj}
 
 
 def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int, *,

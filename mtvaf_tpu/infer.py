@@ -1,0 +1,170 @@
+"""Inference API: raw text (+ images) → aspect terms and polarities.
+
+Production-facing counterpart of the reference's ``--only_test`` path
+(MTVAF_training.py:391-394): load a trained model once, then serve batched
+predictions with jitted device programs and host-side decoding.
+
+  >>> predictor = CrfPredictor(cfg, bert_cfg, params, tokenizer)
+  >>> predictor.predict(["the pizza was great but service slow"])
+  [[('pizza', 'POS')], ...]
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .core.config import CRF_LABEL_LIST, Config, ID_TO_POLARITY
+from .data.features import (InputFeatures, SemEvalExample,
+                            convert_examples_to_features,
+                            convert_mm_examples_to_features)
+from .data.readers import MMInputExample
+from .eval.span_decode import eval_span_candidates
+from .eval.tagging import extract_entities, labels_to_tags
+from .nn.bert import BertConfig, xla_attention
+from .nn.models import compute_visual_guides
+from .train.steps import (make_classification_step, make_crf_decode_step,
+                          make_extraction_step)
+
+
+class _PredictorBase:
+    def __init__(self, cfg: Config, bert_cfg: BertConfig, params, tokenizer,
+                 resnet_params=None, attention_impl=xla_attention):
+        self.cfg = cfg
+        self.bert_cfg = bert_cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.resnet_params = resnet_params
+        self.attention_impl = attention_impl
+        self._guide_fn = None
+        if cfg.use_prefix and resnet_params is not None:
+            self._guide_fn = jax.jit(
+                lambda imgs, aux: compute_visual_guides(
+                    resnet_params, imgs, aux, depth=cfg.resnet_depth))
+
+    def _maybe_guides(self, batch: Dict, images, aux_images):
+        if self._guide_fn is None or images is None:
+            return batch
+        aux = aux_images if aux_images is not None else \
+            np.zeros((images.shape[0], 3, 224, 224, 3), np.float32)
+        mg, ag = self._guide_fn(jnp.asarray(images), jnp.asarray(aux))
+        batch = dict(batch)
+        batch["main_guides"] = mg
+        batch["aux_guides"] = ag
+        return batch
+
+
+class CrfPredictor(_PredictorBase):
+    """Tag raw sentences; returns (term, sentiment) pairs per sentence."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self._decode = make_crf_decode_step(self.cfg, self.bert_cfg,
+                                            self.attention_impl)
+        self.label_map = {label: i for i, label in enumerate(CRF_LABEL_LIST, 1)}
+        self.inv_label_map = {i: l for l, i in self.label_map.items()}
+        self.inv_label_map[0] = "PAD"
+
+    def predict(self, sentences: Sequence[str], images=None, aux_images=None,
+                ) -> List[List[Tuple[str, str]]]:
+        examples = [
+            MMInputExample(guid=str(i), text_a=s, img_id="", label=["O"] *
+                           len(s.split()), auxlabel=["O"] * len(s.split()),
+                           imagelabel=None)
+            for i, s in enumerate(sentences)]
+        feats = convert_mm_examples_to_features(
+            examples, CRF_LABEL_LIST, CRF_LABEL_LIST,
+            self.cfg.effective_max_seq, self.tokenizer,
+            is_roberta=self.cfg.is_roberta,
+            num_anp_classes=self.cfg.num_anp_classes)
+        batch = {
+            "input_ids": jnp.asarray([f.input_ids for f in feats], jnp.int32),
+            "input_mask": jnp.asarray([f.input_mask for f in feats], jnp.int32),
+            "segment_ids": jnp.asarray([f.segment_ids for f in feats],
+                                       jnp.int32),
+            "label_ids": jnp.asarray([f.label_id for f in feats], jnp.int32),
+            "imagelabel": jnp.zeros((len(feats), self.cfg.num_anp_classes),
+                                    jnp.float32),
+        }
+        batch = self._maybe_guides(batch, images, aux_images)
+        out = self._decode(self.params, batch)
+        _, y_pred = labels_to_tags(
+            np.asarray(batch["label_ids"]), np.asarray(batch["input_mask"]),
+            self.inv_label_map, np.asarray(out["pred_tags"]))
+
+        results = []
+        for sent, tags in zip(sentences, y_pred):
+            words = sent.split()
+            # tags align to first-subtoken words (X/[SEP] filtered out)
+            spans = extract_entities(tags)
+            results.append([
+                (" ".join(words[s:e + 1]), etype) for etype, s, e in spans
+                if s < len(words)])
+        return results
+
+
+class SpanPredictor(_PredictorBase):
+    """Span-extraction prediction: top spans + polarity per sentence."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self._extract = make_extraction_step(self.cfg, self.bert_cfg,
+                                             self.attention_impl)
+        self._classify = make_classification_step(self.cfg, self.bert_cfg)
+
+    def predict(self, sentences: Sequence[str], images=None, aux_images=None
+                ) -> List[List[Tuple[str, str]]]:
+        cfg = self.cfg
+        examples = [
+            SemEvalExample(example_id=str(i), sent_tokens=s.split(),
+                           term_texts=[], start_positions=[],
+                           end_positions=[], polarities=[])
+            for i, s in enumerate(sentences)]
+        feats = convert_examples_to_features(
+            examples, self.tokenizer, cfg.effective_max_seq,
+            is_roberta=cfg.is_roberta, max_term_num=1)
+        batch = {
+            "input_ids": jnp.asarray([f.input_ids for f in feats], jnp.int32),
+            "input_mask": jnp.asarray([f.input_mask for f in feats], jnp.int32),
+            "segment_ids": jnp.asarray([f.segment_ids for f in feats],
+                                       jnp.int32),
+        }
+        batch = self._maybe_guides(batch, images, aux_images)
+        s_logits, e_logits, seq = self._extract(self.params, batch)
+        s_np, e_np = np.asarray(s_logits), np.asarray(e_logits)
+
+        all_ss, all_se, all_masks = [], [], []
+        for j, feature in enumerate(feats):
+            ss, se, _, masks = eval_span_candidates(
+                examples[j], feature, list(s_np[j]), list(e_np[j]),
+                filter_type=cfg.filter_type, use_heuristics=cfg.use_heuristics,
+                use_nms=cfg.use_nms, logit_threshold=cfg.logit_threshold,
+                n_best_size=cfg.n_best_size,
+                max_answer_length=cfg.max_answer_length,
+                do_lower_case=cfg.do_lower_case)
+            all_ss.append(ss)
+            all_se.append(se)
+            all_masks.append(masks)
+
+        ac = np.asarray(self._classify(
+            self.params, seq, jnp.asarray(all_ss, jnp.int32),
+            jnp.asarray(all_se, jnp.int32)))
+        preds = ac.argmax(axis=-1)
+
+        from .eval.span_decode import detokenized_span_text
+        results = []
+        for j, feature in enumerate(feats):
+            out = []
+            for k in range(cfg.n_best_size):
+                if not all_masks[j][k]:
+                    continue
+                text = detokenized_span_text(
+                    examples[j], feature, all_ss[j][k], all_se[j][k],
+                    cfg.do_lower_case)
+                out.append((text, ID_TO_POLARITY[int(preds[j][k])]))
+            results.append(out)
+        return results

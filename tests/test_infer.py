@@ -1,0 +1,49 @@
+"""Inference API tests (raw text → predictions through jitted programs)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mtvaf_tpu.core.config import Config
+from mtvaf_tpu.data.synthetic import make_vocab_file
+from mtvaf_tpu.data.tokenization import FullTokenizer
+from mtvaf_tpu.infer import CrfPredictor, SpanPredictor
+from mtvaf_tpu.nn.bert import BertConfig
+from mtvaf_tpu.nn.models import init_crf_model_params, init_span_model_params
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    p = tmp_path_factory.mktemp("v") / "vocab.txt"
+    make_vocab_file(str(p))
+    return FullTokenizer(str(p))
+
+
+def test_crf_predictor(tokenizer):
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    pred = CrfPredictor(cfg, bert_cfg, params, tokenizer)
+    out = pred.predict(["the pizza was great but service slow",
+                        "bad battery"])
+    assert len(out) == 2
+    for sent_preds in out:
+        for term, pol in sent_preds:
+            assert isinstance(term, str)
+            assert pol in ("POS", "NEG", "NEU")
+
+
+def test_span_predictor(tokenizer):
+    cfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
+                 max_answer_length=4, logit_threshold=-100.0, bf16=False)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    pred = SpanPredictor(cfg, bert_cfg, params, tokenizer)
+    out = pred.predict(["great phone bad battery", "nice view"])
+    assert len(out) == 2
+    # with threshold -100 the random model must propose at least one span
+    assert any(len(p) > 0 for p in out)
+    for sent_preds in out:
+        for term, pol in sent_preds:
+            assert pol in ("other", "neutral", "positive", "negative",
+                           "conflict")
