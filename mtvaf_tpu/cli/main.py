@@ -122,6 +122,14 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
     logger.info("config: %s", cfg)
 
     import jax
+
+    # Multi-host SPMD: replaces the reference's
+    # torch.distributed.init_process_group('nccl') (MTVAF_training.py:309).
+    # Gradient all-reduce rides ICI within a slice and DCN across slices.
+    if cfg.nodes > 1:
+        jax.distributed.initialize()
+        logger.info("jax.distributed initialized: process %d/%d",
+                    jax.process_index(), jax.process_count())
     from ..data.datasets import CrfDataset, SpanDataset
     from ..data.tokenization import build_tokenizer
     from ..kernels.prefix_attention import select_attention_impl

@@ -147,7 +147,13 @@ def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int, *,
                     drop_last: bool = False,
                     pad_to_full: bool = True) -> Iterator[Dict[str, np.ndarray]]:
     """Yield fixed-size batches (tail batch padded by repeating the last row,
-    with 'batch_valid' marking real rows) so jit shapes never change."""
+    with 'batch_valid' marking real rows) so jit shapes never change.
+
+    For eval the padded rows are filtered via ``batch_valid``.  For training
+    the duplicated tail rows contribute to the gradient of one step per
+    epoch — with shuffling the bias is negligible and static shapes avoid a
+    retrace per tail batch (the reference instead feeds a smaller final
+    batch, retracing would cost far more than the duplicate rows)."""
     n = len(next(iter(arrays.values())))
     idx = np.arange(n)
     if shuffle:
