@@ -126,8 +126,12 @@ class CrfTrainer:
                 self.best_test_metric = meta.get("best_test_metric", 0.0)
                 logger.info("resumed from epoch %d", start_epoch - 1)
         for epoch in range(start_epoch, cfg.num_epochs + 1):
+            # Device results are collected and fetched once per epoch — a
+            # per-step float()/np.asarray would serialize on host round-trips
+            # (the reference syncs every step — modules/train.py:618,627).
             y_true, y_pred = [], []
-            epoch_loss, n_steps, n_examples = 0.0, 0, 0
+            loss_devs, step_records = [], []
+            n_examples = 0
             t0 = time.time()
             for batch in iterate_batches(ds.arrays, cfg.train_batch_size,
                                          shuffle=True, seed=cfg.seed,
@@ -139,24 +143,26 @@ class CrfTrainer:
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,
                                                       step_rng)
-                profiler.step_end(metrics["loss"])
-                epoch_loss += float(metrics["loss"])
-                n_steps += 1
+                profiler.step_end()
+                loss_devs.append(metrics["loss"])
                 n_examples += int(valid.sum())
 
-                if self.collect_train_metrics:
-                    emissions = metrics.get("emissions")
-                    if emissions is not None:
-                        tags, _ = self._emission_decode(
-                            self.state.params["crf"], emissions,
-                            dev_batch["input_mask"])
-                        yt, yp = labels_to_tags(
-                            batch["label_ids"], batch["input_mask"],
-                            self.inv_label_map, np.asarray(tags))
-                        for j in range(len(yt)):
-                            if valid[j]:
-                                y_true.append(yt[j])
-                                y_pred.append(yp[j])
+                if self.collect_train_metrics and "emissions" in metrics:
+                    tags, _ = self._emission_decode(
+                        self.state.params["crf"], metrics["emissions"],
+                        dev_batch["input_mask"])
+                    step_records.append((batch, valid, tags))
+
+            n_steps = len(loss_devs)
+            epoch_loss = float(np.sum([np.asarray(l) for l in loss_devs]))
+            for batch, valid, tags in step_records:
+                yt, yp = labels_to_tags(
+                    batch["label_ids"], batch["input_mask"],
+                    self.inv_label_map, np.asarray(tags))
+                for j in range(len(yt)):
+                    if valid[j]:
+                        y_true.append(yt[j])
+                        y_pred.append(yp[j])
 
             dt = time.time() - t0
             self.last_throughput = n_examples / dt if dt > 0 else 0.0

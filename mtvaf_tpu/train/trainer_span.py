@@ -150,8 +150,11 @@ class SpanTrainer:
                 self.best_dev_metric = meta.get("best_dev_metric", 0.0)
                 logger.info("resumed from epoch %d", start_epoch - 1)
         for epoch in range(start_epoch, cfg.num_epochs + 1):
-            all_results = []
-            epoch_loss, n_steps = 0.0, 0
+            # Device scalars/arrays are collected and fetched once per epoch:
+            # a per-step float() would serialize on a host round-trip (the
+            # reference syncs every step — modules/train.py:113).
+            step_records = []
+            loss_devs = []
             for batch in iterate_batches(ds.arrays, cfg.train_batch_size,
                                          shuffle=True, seed=cfg.seed,
                                          epoch=epoch):
@@ -162,14 +165,19 @@ class SpanTrainer:
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,
                                                       step_rng)
-                profiler.step_end(metrics["loss"])
-                epoch_loss += float(metrics["loss"])
-                n_steps += 1
+                profiler.step_end()
+                loss_devs.append(metrics["loss"])
                 n_examples += int(valid.sum())
+                step_records.append((batch, valid, metrics.get("ac_logits")))
 
-                # Train-metric collection (reference modules/train.py:122-130)
-                ac_pred = np.asarray(metrics.pop("ac_logits")).argmax(axis=-1) \
-                    if "ac_logits" in metrics else None
+            n_steps = len(loss_devs)
+            epoch_loss = float(np.sum([np.asarray(l) for l in loss_devs]))
+
+            # Train-metric collection (reference modules/train.py:122-130)
+            all_results = []
+            for batch, valid, ac_logits in step_records:
+                ac_pred = np.asarray(ac_logits).argmax(axis=-1) \
+                    if ac_logits is not None else None
                 for j_idx, ex_idx in enumerate(batch["example_index"]):
                     if not valid[j_idx]:
                         continue
