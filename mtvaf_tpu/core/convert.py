@@ -54,11 +54,18 @@ def bert_params_from_torch(sd: Mapping, num_layers: int) -> Dict:
 
     def layer(i: int) -> Dict:
         p = f"encoder.layer.{i}."
+        q = _lin(sd, p + "attention.self.query")
+        k = _lin(sd, p + "attention.self.key")
+        v = _lin(sd, p + "attention.self.value")
         return {
             "attn": {
-                "q": _lin(sd, p + "attention.self.query"),
-                "k": _lin(sd, p + "attention.self.key"),
-                "v": _lin(sd, p + "attention.self.value"),
+                # Fused QKV (see nn/bert._layer_init).
+                "qkv": {
+                    "kernel": jnp.concatenate(
+                        [q["kernel"], k["kernel"], v["kernel"]], axis=1),
+                    "bias": jnp.concatenate(
+                        [q["bias"], k["bias"], v["bias"]]),
+                },
                 "out": _lin(sd, p + "attention.output.dense"),
                 "ln": _ln(sd, p + "attention.output.LayerNorm"),
             },

@@ -58,7 +58,7 @@ def _param_spec_for_path(path: str) -> P:
     else:
         lead = ()
     if path.endswith("/kernel") or path.endswith("kernel"):
-        if any(s in path for s in ("attn/q", "attn/k", "attn/v", "mlp/in")):
+        if any(s in path for s in ("attn/qkv", "mlp/in")):
             return P(*lead, None, "model")
         if any(s in path for s in ("attn/out", "mlp/out")):
             return P(*lead, "model", None)

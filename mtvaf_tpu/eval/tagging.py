@@ -101,6 +101,40 @@ def classification_report(y_true, y_pred, digits: int = 4) -> str:
     return out
 
 
+def chunk_evaluate(labels_pred: Sequence[Sequence[str]],
+                   labels: Sequence[Sequence[str]]) -> Tuple[float, float,
+                                                             float, float]:
+    """Chunk-based (acc, f1, p, r) over tag-name sequences — auxiliary metric
+    (reference modules/eval_metrics.py:238-258)."""
+    accs = []
+    correct = total_pred = total_gold = 0
+    for gold_seq, pred_seq in zip(labels, labels_pred):
+        accs.extend(a == b for a, b in zip(gold_seq, pred_seq))
+        gold = set(extract_entities(gold_seq))
+        pred = set(extract_entities(pred_seq))
+        correct += len(gold & pred)
+        total_pred += len(pred)
+        total_gold += len(gold)
+    p, r, f1 = precision_recall_f1(correct, total_pred, total_gold)
+    acc = sum(accs) / len(accs) if accs else 0.0
+    return acc, f1, p, r
+
+
+def evaluate_each_class(labels_pred, labels, class_type: str):
+    """Per-class chunk (f1, p, r) — auxiliary metric
+    (reference modules/eval_metrics.py:261-291)."""
+    correct = total_pred = total_gold = 0
+    for gold_seq, pred_seq in zip(labels, labels_pred):
+        gold = {e for e in extract_entities(gold_seq) if e[0] == class_type}
+        pred = {e for e in extract_entities(pred_seq) if e[0] == class_type}
+        gold_all = set(extract_entities(gold_seq))
+        correct += len(pred & gold_all)
+        total_pred += len(pred)
+        total_gold += len(gold)
+    p, r, f1 = precision_recall_f1(correct, total_pred, total_gold)
+    return f1, p, r
+
+
 def labels_to_tags(label_ids, mask, inv_label_map: Dict[int, str],
                    pred_ids=None):
     """Device label/pred id arrays → y_true/y_pred tag lists, skipping the

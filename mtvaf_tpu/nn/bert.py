@@ -81,7 +81,10 @@ def _layer_init(rng, cfg: BertConfig):
     d = partial(dense_init, stddev=sd)
     return {
         "attn": {
-            "q": d(ks[0], h, h), "k": d(ks[1], h, h), "v": d(ks[2], h, h),
+            # Q, K, V fused into one (h, 3h) projection: one MXU matmul per
+            # layer instead of three (the math is identical; the converter
+            # concatenates HF's separate q/k/v kernels).
+            "qkv": d(ks[0], h, 3 * h),
             "out": d(ks[3], h, h), "ln": layer_norm_init(h),
         },
         "mlp": {
@@ -154,9 +157,11 @@ def bert_layer(lp, hidden, bias, cfg: BertConfig, prefix_kv=None, rng=None,
     """
     rngs = [None] * 3 if rng is None else list(jax.random.split(rng, 3))
 
-    q = _split_heads(dense(lp["attn"]["q"], hidden), cfg.num_attention_heads)
-    k = _split_heads(dense(lp["attn"]["k"], hidden), cfg.num_attention_heads)
-    v = _split_heads(dense(lp["attn"]["v"], hidden), cfg.num_attention_heads)
+    qkv = dense(lp["attn"]["qkv"], hidden)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, cfg.num_attention_heads)
+    k = _split_heads(k, cfg.num_attention_heads)
+    v = _split_heads(v, cfg.num_attention_heads)
     if prefix_kv is not None:
         pk, pv = prefix_kv[0].astype(k.dtype), prefix_kv[1].astype(v.dtype)
         k = jnp.concatenate([pk, k], axis=2)

@@ -80,3 +80,35 @@ def combine_loss(loss, p_loss, beta: float, epoch_const: int):
     """loss + probe_loss·β·2^(−epoch) when probe_loss > 0.1, else loss."""
     factor = beta * (2.0 ** (-epoch_const))
     return jnp.where(p_loss > 0.1, loss + p_loss * factor, loss)
+
+
+# ---------------------------------------------------------------------------
+# Probe family variants (reference probes/probe.py:9-152; unused by the
+# training pipelines but part of the probe subsystem surface).
+
+
+def two_word_distances(params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """TwoWordPSDProbe: all-pairs squared L2 distance after projection,
+    (B, S, H) → (B, S, S)."""
+    t = jnp.dot(hidden.astype(jnp.float32), params["proj"].astype(jnp.float32))
+    diffs = t[:, :, None, :] - t[:, None, :, :]
+    return jnp.sum(jnp.square(diffs), axis=-1)
+
+
+def init_nonpsd_probe_params(rng, hidden_dim: int = 768) -> Dict:
+    return {"proj": jax.random.uniform(rng, (hidden_dim, hidden_dim),
+                                       jnp.float32, -0.05, 0.05)}
+
+
+def one_word_nonpsd_depths(params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """OneWordNonPSDProbe: bilinear affinity h_i^T A h_i, (B, S, H) → (B, S)."""
+    h = hidden.astype(jnp.float32)
+    return jnp.einsum("bsh,hk,bsk->bs", h, params["proj"].astype(jnp.float32), h)
+
+
+def two_word_nonpsd_scores(params: Dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """TwoWordNonPSDProbe: (h_i−h_j)^T A (h_i−h_j), (B, S, H) → (B, S, S)."""
+    h = hidden.astype(jnp.float32)
+    diffs = h[:, :, None, :] - h[:, None, :, :]
+    return jnp.einsum("bsth,hk,bstk->bst", diffs,
+                      params["proj"].astype(jnp.float32), diffs)

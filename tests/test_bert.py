@@ -183,8 +183,8 @@ class TestInitShapes:
     def test_init_params_shapes(self, rng_key):
         cfg = BertConfig.tiny()
         params = init_bert_params(rng_key, cfg)
-        assert params["layers"]["attn"]["q"]["kernel"].shape == \
-            (cfg.num_hidden_layers, cfg.hidden_size, cfg.hidden_size)
+        assert params["layers"]["attn"]["qkv"]["kernel"].shape == \
+            (cfg.num_hidden_layers, cfg.hidden_size, 3 * cfg.hidden_size)
         out = bert_model(params, cfg,
                          jnp.zeros((2, 6), jnp.int32), jnp.ones((2, 6), jnp.int32))
         assert out["last_hidden_state"].shape == (2, 6, cfg.hidden_size)

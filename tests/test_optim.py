@@ -92,5 +92,5 @@ class TestGroups:
             p = jax.tree.map(lambda a, u: a + u, p, updates)
         crf_mag = np.abs(np.asarray(updates["crf"]["transitions"])).mean()
         bert_mag = np.abs(np.asarray(
-            updates["bert"]["layers"]["attn"]["q"]["kernel"])).mean()
+            updates["bert"]["layers"]["attn"]["qkv"]["kernel"])).mean()
         assert crf_mag > 10 * bert_mag

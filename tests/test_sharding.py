@@ -54,7 +54,7 @@ def test_param_sharding_specs():
     params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
     shardings = param_sharding(mesh, params)
     # QKV kernels column-parallel over 'model'
-    q_spec = shardings["bert"]["layers"]["attn"]["q"]["kernel"].spec
+    q_spec = shardings["bert"]["layers"]["attn"]["qkv"]["kernel"].spec
     assert q_spec == P(None, None, "model")
     out_spec = shardings["bert"]["layers"]["attn"]["out"]["kernel"].spec
     assert out_spec == P(None, "model", None)
