@@ -158,6 +158,10 @@ class Config:
     profile_steps: int = 5              # trace window length (train steps)
     save_checkpoints: bool = False      # full train-state checkpoint per epoch
     resume: bool = False                # resume from latest checkpoint
+    span_ac_loss_mode: str = "reference"  # 'reference' (unmasked mean CE —
+                                          # the reference's mask is a no-op,
+                                          # models/bert_model.py:302-303) or
+                                          # 'masked' (the evident intent)
 
     def __post_init__(self):
         if self.dataset_name not in SPAN_DATASETS + CRF_DATASETS:

@@ -172,6 +172,37 @@ def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int, *,
         yield batch
 
 
+def prefetch(iterator, size: int = 2):
+    """Background-thread prefetch: overlap host batch assembly (numpy
+    slicing, guide-cache lookups, image decode) with device execution.
+    The reference's equivalent is torch DataLoader(num_workers=4)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def attach_images(batch: Dict[str, np.ndarray], image_ids: Sequence[str],
                   store: ImageStore, with_aux: bool = True) -> Dict:
     ids = [image_ids[i] for i in batch["example_index"]]

@@ -113,6 +113,62 @@ def make_images(img_dir: str, image_ids: List[str], *, size: int = 256,
         Image.fromarray(arr).save(os.path.join(img_dir, img))
 
 
+NOUNS = "phone screen battery camera service staff food pizza room view".split()
+POS_WORDS = "great amazing nice friendly fresh".split()
+NEG_WORDS = "awful terrible slow rude stale".split()
+FILLER = "the was is really very so and it I".split()
+
+
+def make_learnable_span_file(path: str, n: int, *, seed: int = 0) -> None:
+    """Synthetic data with a *learnable* rule: each sentence contains one
+    aspect noun preceded by a sentiment word that determines its polarity —
+    lets integration tests assert that training actually learns."""
+    rng = random.Random(seed)
+    lines = []
+    for i in range(n):
+        noun = rng.choice(NOUNS)
+        positive = rng.random() < 0.5
+        sent_word = rng.choice(POS_WORDS if positive else NEG_WORDS)
+        pol = "POS" if positive else "NEG"
+        pre = [rng.choice(FILLER) for _ in range(rng.randint(1, 3))]
+        post = [rng.choice(FILLER) for _ in range(rng.randint(0, 2))]
+        words = pre + [sent_word, noun] + post
+        tags = ["O"] * len(pre) + ["O", f"T-{pol}-B"] + ["O"] * len(post)
+        pair_str = " ".join(f"{w}={t}" for w, t in zip(words, tags))
+        lines.append(f"{' '.join(words)}####{pair_str}"
+                     f"____label=[1, 0]____imgid=['img_{i % 4}.jpg']")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def make_learnable_crf_files(tsv_path: str, anp_path: str, n: int, *,
+                             seed: int = 0, num_anp: int = 8) -> None:
+    """CRF-pipeline variant of the learnable rule."""
+    rng = random.Random(seed)
+    lines = []
+    anp: Dict[str, Dict[str, float]] = {}
+    for i in range(n):
+        img = f"{800000 + (i % 4)}.jpg"
+        lines.append("IMGID:" + img[:-4])
+        noun = rng.choice(NOUNS)
+        positive = rng.random() < 0.5
+        sent_word = rng.choice(POS_WORDS if positive else NEG_WORDS)
+        t = "POS" if positive else "NEG"
+        pre = [rng.choice(FILLER) for _ in range(rng.randint(1, 3))]
+        words = pre + [sent_word, noun]
+        tags = ["O"] * len(pre) + ["O", f"B-{t}"]
+        for w, tag in zip(words, tags):
+            lines.append(f"{w}\t{tag}")
+        lines.append("")
+        dist = [rng.random() for _ in range(num_anp)]
+        s = sum(dist)
+        anp[img] = {f"anp_{k:04d}": v / s for k, v in enumerate(dist)}
+    with open(tsv_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(anp_path, "w", encoding="utf-8") as f:
+        json.dump(anp, f)
+
+
 def make_roberta_vocab(dir_path: str) -> None:
     """Tiny byte-level BPE vocab (vocab.json + merges.txt) covering the
     synthetic word list: specials + single characters + a few merges."""

@@ -238,11 +238,15 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
     flat_labels = batch["span_labels"].reshape(-1)
     log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
     ce = -jnp.take_along_axis(log_probs, flat_labels[:, None], axis=1)[:, 0]
-    # Reference quirk kept (models/bert_model.py:302-303): nn.CrossEntropyLoss
-    # mean-reduces BEFORE the mask multiply, so the mask is a no-op and padded
-    # slots train toward class 0 ('other') — acting as a null class for bad
-    # candidates at eval.
-    ac_loss = jnp.mean(ce)
+    if getattr(cfg, "span_ac_loss_mode", "reference") == "masked":
+        m = batch["span_masks"].reshape(-1).astype(jnp.float32)
+        ac_loss = jnp.sum(ce * m) / jnp.maximum(m.sum(), 1.0)
+    else:
+        # Reference quirk kept (models/bert_model.py:302-303):
+        # nn.CrossEntropyLoss mean-reduces BEFORE the mask multiply, so the
+        # mask is a no-op and padded slots train toward class 0 ('other') —
+        # acting as a null class for bad candidates at eval.
+        ac_loss = jnp.mean(ce)
 
     tot_loss = ae_loss + ac_loss
     out = {"start_logits": start_logits, "end_logits": end_logits,

@@ -133,10 +133,12 @@ class CrfTrainer:
             loss_devs, step_records = [], []
             n_examples = 0
             t0 = time.time()
-            for batch in iterate_batches(ds.arrays, cfg.train_batch_size,
-                                         shuffle=True, seed=cfg.seed,
-                                         epoch=epoch):
-                batch = self._attach_guides(batch, ds)
+            from ..data.datasets import prefetch
+            batches = prefetch(
+                (self._attach_guides(b, ds) for b in iterate_batches(
+                    ds.arrays, cfg.train_batch_size, shuffle=True,
+                    seed=cfg.seed, epoch=epoch)))
+            for batch in batches:
                 valid = batch.pop("batch_valid")
                 dev_batch = self._device_batch(batch)
                 self.rng, step_rng = jax.random.split(self.rng)
