@@ -11,7 +11,7 @@ predictions with jitted device programs and host-side decoding.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .core.config import CRF_LABEL_LIST, Config, ID_TO_POLARITY
-from .data.features import (InputFeatures, SemEvalExample,
+from .data.features import (SemEvalExample,
                             convert_examples_to_features,
                             convert_mm_examples_to_features)
 from .data.readers import MMInputExample

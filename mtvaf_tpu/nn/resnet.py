@@ -19,7 +19,7 @@ converted checkpoints stay bit-compatible.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ dynamic slices; here every variant is a static-shape mask multiplication
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

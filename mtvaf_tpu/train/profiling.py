@@ -3,7 +3,6 @@ exposes jax.profiler traces + per-step timing)."""
 
 from __future__ import annotations
 
-import contextlib
 import logging
 import time
 from typing import Optional

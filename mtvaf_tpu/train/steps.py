@@ -9,7 +9,6 @@ SURVEY.md §2.3).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
