@@ -194,17 +194,24 @@ class CrfTrainer:
 
     # ------------------------------------------------------------------
     def _predict(self, dataset):
-        from ..data.datasets import iterate_batches
+        from ..data.datasets import iterate_batches, prefetch
         cfg = self.cfg
-        y_true, y_pred = [], []
-        total_loss, steps = 0.0, 0
-        for batch in iterate_batches(dataset.arrays, cfg.eval_batch_size):
-            batch = self._attach_guides(batch, dataset)
+        # Dispatch all batches first (device results fetched after the loop —
+        # a per-step float() would serialize on host round-trips).
+        records = []
+        batches = prefetch(
+            (self._attach_guides(b, dataset) for b in iterate_batches(
+                dataset.arrays, cfg.eval_batch_size)))
+        for batch in batches:
             valid = batch.pop("batch_valid")
             dev_batch = self._device_batch(batch)
             out = self.decode_step(self.state.params, dev_batch)
+            records.append((batch, valid, out))
+
+        y_true, y_pred = [], []
+        total_loss = 0.0
+        for batch, valid, out in records:
             total_loss += float(out["loss"])
-            steps += 1
             yt, yp = labels_to_tags(batch["label_ids"], batch["input_mask"],
                                     self.inv_label_map,
                                     np.asarray(out["pred_tags"]))
@@ -212,7 +219,7 @@ class CrfTrainer:
                 if valid[j]:
                     y_true.append(yt[j])
                     y_pred.append(yp[j])
-        return y_true, y_pred, total_loss / max(steps, 1)
+        return y_true, y_pred, total_loss / max(len(records), 1)
 
     def evaluate(self, epoch: int) -> float:
         cfg = self.cfg

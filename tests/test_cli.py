@@ -82,6 +82,32 @@ def test_cli_crf_use_align(tmp_path, data_tree):
     assert (save / "best_model.npz").exists()
 
 
+def test_cli_span_use_align(tmp_path, data_tree):
+    """Pipeline-A AGN auxiliary-text merge through the CLI (--use_align):
+    aux words appended with B-X tags (reference models/utils.py:763-786)."""
+    from mtvaf_tpu.cli.main import main
+    from mtvaf_tpu.data.synthetic import make_agn_file
+    from mtvaf_tpu.data.tokenization import load_vocab
+
+    root, bert_dir = data_tree
+    img_ids = [f"img_{i}.jpg" for i in range(8)]
+    agn_dir = root / "AGN_data" / "twitter2015"
+    agn_dir.mkdir(parents=True, exist_ok=True)
+    for mode in ("train", "dev", "test"):
+        make_agn_file(str(agn_dir / f"aux_{mode}.txt"), img_ids)
+
+    vocab_size = len(load_vocab(str(bert_dir / "vocab.txt")))
+    save = tmp_path / "out_span_align"
+    argv = ["--dataset_name", "twitter15", "--do_train", "--use_align",
+            "--bert_name", str(bert_dir), "--num_epochs", "1",
+            "--eval_begin_epoch", "1", "--train_batch_size", "4",
+            "--eval_batch_size", "4", "--max_seq_agn", "48",
+            "--n_best_size", "8", "--max_answer_length", "4",
+            "--save_path", str(save), "--data_root", str(root), "--no_bf16"]
+    main(argv, bert_cfg_override=BertConfig.tiny(vocab_size=vocab_size))
+    assert (save / "best_model.npz").exists()
+
+
 def test_cli_span_pipeline(tmp_path, data_tree):
     from mtvaf_tpu.cli.main import main
     from mtvaf_tpu.data.tokenization import load_vocab
