@@ -66,16 +66,24 @@ def whitespace_tokenize(text: str) -> List[str]:
     return text.split() if text else []
 
 
+DEFAULT_NEVER_SPLIT = ("[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]")
+
+
 class BasicTokenizer:
     """Whitespace/punctuation splitting, lowercasing, accent stripping.
 
     Semantics match the Google BasicTokenizer used by the reference both for
     runtime tokenization and inside ``get_final_text`` detokenization
     (reference squad/tokenization.py:121-293, squad/squad_utils.py:548).
+    ``never_split`` keeps special tokens whole — the merged visual-context
+    text contains literal ``[SEP]`` separators (reference
+    modules/dataset.py:254) that the HF tokenizer also never splits.
     """
 
-    def __init__(self, do_lower_case: bool = True):
+    def __init__(self, do_lower_case: bool = True,
+                 never_split=DEFAULT_NEVER_SPLIT):
         self.do_lower_case = do_lower_case
+        self.never_split = set(never_split or ())
 
     def tokenize(self, text: str) -> List[str]:
         text = self._clean_text(text)
@@ -83,6 +91,9 @@ class BasicTokenizer:
         orig_tokens = whitespace_tokenize(text)
         split_tokens: List[str] = []
         for token in orig_tokens:
+            if token in self.never_split:
+                split_tokens.append(token)
+                continue
             if self.do_lower_case:
                 token = token.lower()
                 token = self._strip_accents(token)

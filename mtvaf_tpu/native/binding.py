@@ -91,7 +91,7 @@ class NativeWordPiece:
 
     def encode_words(self, words: Sequence[str]):
         """words → (ids: List[int], word_start: List[int])."""
-        ascii_ok = all(w.isascii() for w in words)
+        ascii_ok = all(w.isascii() and "[" not in w for w in words)
         if not ascii_ok:
             ids: List[int] = []
             starts: List[int] = []
@@ -134,7 +134,9 @@ class AcceleratedTokenizer:
         self.sep_token = py_tokenizer.sep_token
 
     def tokenize(self, text: str):
-        if text.isascii():
+        # "[" routes to python: special tokens like [SEP] must never split
+        # (the C++ fast path does plain ASCII punctuation splitting).
+        if text.isascii() and "[" not in text:
             ids, _ = self._native.encode_words(text.split())
             return [self.inv_vocab[i] for i in ids]
         return self._py.tokenize(text)

@@ -104,3 +104,37 @@ class TestByteLevelBPE:
         toks = tok.tokenize("hello")
         assert toks == ["he", "l", "l", "o"]
         assert tok.convert_tokens_to_ids(toks) == [4, 2, 2, 3]
+
+
+class TestNeverSplit:
+    def test_sep_passes_through(self):
+        vocab = make_vocab(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "man",
+                            "in", "suit", "[", "]", "sep"])
+        tok = FullTokenizer(vocab)
+        assert tok.tokenize("a man [SEP] in suit") == \
+            ["a", "man", "[SEP]", "in", "suit"]
+
+    def test_vs_hf_special_token(self):
+        transformers = pytest.importorskip("transformers")
+        import tempfile, os
+        vocab_tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a",
+                        "man", "in", "suit", "[", "]", "sep"]
+        with tempfile.TemporaryDirectory() as d:
+            vf = os.path.join(d, "vocab.txt")
+            with open(vf, "w") as f:
+                f.write("\n".join(vocab_tokens) + "\n")
+            hf = transformers.BertTokenizer(vf, do_lower_case=True)
+            ours = FullTokenizer(vf, do_lower_case=True)
+            text = "a man [SEP] in suit"
+            assert ours.tokenize(text) == hf.tokenize(text)
+
+    def test_native_accel_routes_specials_to_python(self):
+        from mtvaf_tpu.native.binding import load_library, maybe_accelerate
+        if load_library() is None:
+            pytest.skip("native lib unavailable")
+        vocab = make_vocab(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "man",
+                            "in", "suit", "[", "]", "sep"])
+        tok = FullTokenizer(vocab)
+        fast = maybe_accelerate(tok)
+        assert fast.tokenize("a man [SEP] in suit") == \
+            tok.tokenize("a man [SEP] in suit")
