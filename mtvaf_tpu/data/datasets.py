@@ -85,7 +85,8 @@ class CrfDataset:
              mode: str = "train", img_dir: Optional[str] = None,
              aux_dir: Optional[str] = None, aux_map: Optional[dict] = None,
              merge_file: Optional[str] = None):
-        data, imgs, auxlabels, imagelabels = read_mmtsv(data_file, anp_file)
+        data, imgs, auxlabels, imagelabels = read_mmtsv(
+            data_file, anp_file, img_dir=img_dir if cfg.use_prefix else None)
         vc = read_visual_context(merge_file) if merge_file else None
         examples = create_mm_examples(data, imgs, auxlabels, imagelabels,
                                       mode, visual_context=vc)

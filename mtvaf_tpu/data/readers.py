@@ -170,9 +170,14 @@ POLARITY_NAME = {"POS": "positive", "NEG": "negative", "NEU": "neutral"}
 # Pipeline B readers.
 
 
-def read_mmtsv(filename: str, image_label_file: str):
+def read_mmtsv(filename: str, image_label_file: str,
+               img_dir: Optional[str] = None):
     """Read CoNLL-style data with IMGID markers + ANP distributions
     (reference modules/dataset.py:150-209).
+
+    When ``img_dir`` is given, sentences whose image file is missing fall
+    back to the placeholder image id — and therefore its ANP distribution —
+    exactly like the reference (modules/dataset.py:172-180).
 
     Returns (data, imgs, auxlabels, imagelabels) where data is a list of
     (sentence_tokens, labels).
@@ -193,6 +198,9 @@ def read_mmtsv(filename: str, image_label_file: str):
                 continue
             if line[0] == "\n":
                 if sentence:
+                    if img_dir is not None and \
+                            not os.path.exists(os.path.join(img_dir, imgid)):
+                        imgid = "17_06_4705.jpg"
                     data.append((sentence, label))
                     imgs.append(imgid)
                     image_label = image_data.get(imgid)
