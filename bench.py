@@ -32,6 +32,9 @@ MEASURE_STEPS = 20
 def main():
     import jax
 
+    from mtvaf_tpu.core.platform import configure_tpu_defaults
+    configure_tpu_defaults()
+
     from __graft_entry__ import _batch, _flagship
     from mtvaf_tpu.train.optim import build_optimizer
     from mtvaf_tpu.train.steps import (create_train_state, make_crf_loss_fn,

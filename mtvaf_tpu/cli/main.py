@@ -123,6 +123,9 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
 
     import jax
 
+    from ..core.platform import configure_tpu_defaults
+    configure_tpu_defaults()
+
     # Multi-host SPMD: replaces the reference's
     # torch.distributed.init_process_group('nccl') (MTVAF_training.py:309).
     # Gradient all-reduce rides ICI within a slice and DCN across slices.
