@@ -7,18 +7,18 @@ additive mask covers prefix+sequence, and position ids never shift.  The
 caller concatenates prefix KVs before invoking (cheap at P=16), so the kernel
 sees q (B, H, S, D) and k/v (B, H, T, D) with T = P + S.
 
-At MTVAF sizes (S=128..512, T=S+16, D=64) one (batch, head) tile fits VMEM
-whole, so the grid is (B, H) with fully resident blocks: scores never
-round-trip to HBM.  softmax statistics are computed in fp32; the backward
-pass recomputes probabilities flash-style from the saved log-sum-exp rather
-than saving the (S, T) matrix.
+At MTVAF sizes (S=128..512, T=S+16, D=64) a whole batch element — all heads —
+fits VMEM, so the grid is (B,) with the head loop unrolled inside the kernel:
+one program per example instead of B×H tiny programs (measured ~20% faster
+than a (B, H) grid; scores never round-trip to HBM either way).  softmax
+statistics are fp32; the backward pass recomputes probabilities flash-style
+from the saved per-row log-sum-exp instead of saving the (S, T) matrix.
 
 The public entry :func:`prefix_flash_attention` is a drop-in
 ``attention_impl`` for :mod:`mtvaf_tpu.nn.bert` (same signature as
 ``xla_attention``).  Attention-probability dropout is not applied inside the
-kernel; pass ``dropout_rate=0`` semantics (the trainer keeps XLA attention
-when attention dropout is enabled and parity matters, or disables attention
-dropout — see Config.use_pallas_attention).
+kernel (Config.use_pallas_attention governs the swap; hidden-state dropout is
+unaffected).
 """
 
 from __future__ import annotations
@@ -32,63 +32,65 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)          # (S, D)
-    k = k_ref[0].astype(jnp.float32)          # (T, D)
-    v = v_ref[0].astype(jnp.float32)          # (T, D)
-    bias = bias_ref[0].astype(jnp.float32)    # (1, T) or (S, T)
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = s + bias
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) / l
-    o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0][None, :]
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
+                heads):
+    bias = bias_ref[0].astype(jnp.float32)            # (1|S, T)
+    for h in range(heads):
+        q = q_ref[0, h].astype(jnp.float32)           # (S, D)
+        k = k_ref[0, h].astype(jnp.float32)           # (T, D)
+        v = v_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) / l
+        o_ref[0, h] = o.astype(o_ref.dtype)
+        lse_ref[0, h] = (m + jnp.log(l))[:, 0]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+                dq_ref, dk_ref, dv_ref, *, scale, heads):
     bias = bias_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]                               # (S,)
+    for h in range(heads):
+        q = q_ref[0, h].astype(jnp.float32)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        o = o_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h].astype(jnp.float32)
+        lse = lse_ref[0, h]                           # (S,)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale + bias
-    p = jnp.exp(s - lse[:, None])                     # (S, T)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale \
+            + bias
+        p = jnp.exp(s - lse[:, None])                 # (S, T)
 
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # (T, D)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # (S, T)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)                # (S, 1)
-    ds = p * (dp - delta)                                          # (S, T)
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (T, D)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (S, T)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
-def _bh_spec(s, d):
-    # One (batch, head) tile per program.
-    return pl.BlockSpec((1, s, d), lambda b, h: (b * pl.num_programs(1) + h, 0, 0),
+def _spec4(h, s, d):
+    return pl.BlockSpec((1, h, s, d), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _flatten_bh(x):
-    b, h, s, d = x.shape
-    return x.reshape(b * h, s, d)
+def _spec3(s, t):
+    return pl.BlockSpec((1, s, t), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -100,65 +102,44 @@ def _attention(q, k, v, bias, scale):
 def _attention_fwd_impl(q, k, v, bias, scale):
     b, h, s, d = q.shape
     t = k.shape[2]
-    qf, kf, vf = _flatten_bh(q), _flatten_bh(k), _flatten_bh(v)
-    # bias (B, 1|H, 1|S, T) → broadcast to (B*H, S_b, T) blocks
-    bias_b = jnp.broadcast_to(bias, (b, h, bias.shape[2], t))
-    bias_f = bias_b.reshape(b * h, bias.shape[2], t)
+    # bias (B, 1|H, 1|S, T) → (B, S_b, T); heads share the mask in this model.
+    bias_f = jnp.broadcast_to(bias[:, 0], (b, bias.shape[2], t))
 
-    grid = (b, h)
-    out_shape = (
-        jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-        jax.ShapeDtypeStruct((b * h, 1, s), jnp.float32),
-    )
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
-        grid=grid,
-        in_specs=[
-            _bh_spec(s, d), _bh_spec(t, d), _bh_spec(t, d),
-            _bh_spec(bias.shape[2], t),
-        ],
-        out_specs=(
-            _bh_spec(s, d),
-            _bh_spec(1, s),
-        ),
-        out_shape=out_shape,
-    )(qf, kf, vf, bias_f)
-    return o.reshape(b, h, s, d), (qf, kf, vf, bias_f, o, lse,
-                                   (b, h, s, d, t, bias.shape))
+        functools.partial(_fwd_kernel, scale=scale, heads=h),
+        grid=(b,),
+        in_specs=[_spec4(h, s, d), _spec4(h, t, d), _spec4(h, t, d),
+                  _spec3(bias.shape[2], t)],
+        out_specs=(_spec4(h, s, d), _spec3(h, s)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, s), jnp.float32)),
+    )(q, k, v, bias_f)
+    return o, (q, k, v, bias_f, o, lse)
 
 
 def _attention_fwd(q, k, v, bias, scale):
     o, res = _attention_fwd_impl(q, k, v, bias, scale)
-    return o, res
+    return o, res + (bias.shape,)
 
 
 def _attention_bwd(scale, res, g):
-    qf, kf, vf, bias_f, o, lse, (b, h, s, d, t, bias_shape) = res
-    do = _flatten_bh(g)
+    q, k, v, bias_f, o, lse, bias_shape = res
+    b, h, s, d = q.shape
+    t = k.shape[2]
 
-    out_shape = (
-        jax.ShapeDtypeStruct((b * h, s, d), qf.dtype),
-        jax.ShapeDtypeStruct((b * h, t, d), kf.dtype),
-        jax.ShapeDtypeStruct((b * h, t, d), vf.dtype),
-    )
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
-        grid=(b, h),
-        in_specs=[
-            _bh_spec(s, d), _bh_spec(t, d), _bh_spec(t, d),
-            _bh_spec(bias_shape[2], t), _bh_spec(s, d),
-            _bh_spec(1, s),
-            _bh_spec(s, d),
-        ],
-        out_specs=(_bh_spec(s, d), _bh_spec(t, d), _bh_spec(t, d)),
-        out_shape=out_shape,
-    )(qf, kf, vf, bias_f, o, lse, do)
+        functools.partial(_bwd_kernel, scale=scale, heads=h),
+        grid=(b,),
+        in_specs=[_spec4(h, s, d), _spec4(h, t, d), _spec4(h, t, d),
+                  _spec3(bias_f.shape[1], t), _spec4(h, s, d), _spec3(h, s),
+                  _spec4(h, s, d)],
+        out_specs=(_spec4(h, s, d), _spec4(h, t, d), _spec4(h, t, d)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, t, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, t, d), v.dtype)),
+    )(q, k, v, bias_f, o, lse, g)
 
-    dq = dq.reshape(b, h, s, d)
-    dk = dk.reshape(b, h, t, d)
-    dv = dv.reshape(b, h, t, d)
-    # bias gradient: sum of ds over broadcast dims — bias is a mask constant
-    # in this model, return zeros (it is produced by mask_to_bias on ints).
+    # bias is a mask constant in this model (mask_to_bias over ints).
     dbias = jnp.zeros(bias_shape, dq.dtype)
     return dq, dk, dv, dbias
 
