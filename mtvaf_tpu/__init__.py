@@ -16,3 +16,24 @@ Layers (bottom-up, mirroring SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import mtvaf_tpu` free of jax import cost)."""
+    surface = {
+        "Config": ("mtvaf_tpu.core.config", "Config"),
+        "BertConfig": ("mtvaf_tpu.nn.bert", "BertConfig"),
+        "SpanDataset": ("mtvaf_tpu.data.datasets", "SpanDataset"),
+        "CrfDataset": ("mtvaf_tpu.data.datasets", "CrfDataset"),
+        "SpanTrainer": ("mtvaf_tpu.train.trainer_span", "SpanTrainer"),
+        "CrfTrainer": ("mtvaf_tpu.train.trainer_crf", "CrfTrainer"),
+        "SpanPredictor": ("mtvaf_tpu.infer", "SpanPredictor"),
+        "CrfPredictor": ("mtvaf_tpu.infer", "CrfPredictor"),
+        "FullTokenizer": ("mtvaf_tpu.data.tokenization", "FullTokenizer"),
+        "build_tokenizer": ("mtvaf_tpu.data.tokenization", "build_tokenizer"),
+    }
+    if name in surface:
+        import importlib
+        mod, attr = surface[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'mtvaf_tpu' has no attribute {name!r}")

@@ -213,6 +213,24 @@ def bert_encoder(params, cfg: BertConfig, embedding_output, attention_mask,
     bias = mask_to_bias(attention_mask)
     L = cfg.num_hidden_layers
 
+    # Pre-cast the big matmul weights to the activation dtype once, outside
+    # the scan: halves the per-layer weight HBM reads when training in bf16
+    # (dense() would cast the fp32 master weights inside every layer body
+    # otherwise; measured 788 → 815 ex/s on the flagship).  LN params stay
+    # fp32 (layer_norm computes in fp32 regardless).
+    dtype = embedding_output.dtype
+    if dtype != jnp.float32:
+        lp = params["layers"]
+        cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+        params = {**params, "layers": {
+            "attn": {"qkv": cast(lp["attn"]["qkv"]),
+                     "out": cast(lp["attn"]["out"]),
+                     "ln": lp["attn"]["ln"]},
+            "mlp": {"in": cast(lp["mlp"]["in"]),
+                    "out": cast(lp["mlp"]["out"]),
+                    "ln": lp["mlp"]["ln"]},
+        }}
+
     if rng is None:
         layer_rngs = None
     else:
