@@ -135,6 +135,28 @@ def evaluate_each_class(labels_pred, labels, class_type: str):
     return f1, p, r
 
 
+def classification_eval(true_labels: Sequence, pred_labels: Sequence,
+                        negative_label=None) -> Dict[str, float]:
+    """Flat-label accuracy + micro P/R/F1 treating ``negative_label`` as the
+    null class — auxiliary metric (reference modules/eval_metrics.py:294-388,
+    eval_result/eval_asa collapsed into one correct implementation)."""
+    correct = correct_positive = pred_positive = gold_positive = 0
+    total = len(true_labels)
+    for gold, pred in zip(true_labels, pred_labels):
+        if gold == pred:
+            correct += 1
+            if gold != negative_label:
+                correct_positive += 1
+        if gold != negative_label:
+            gold_positive += 1
+        if pred != negative_label:
+            pred_positive += 1
+    acc = correct / total if total else 0.0
+    p, r, f1 = precision_recall_f1(correct_positive, pred_positive,
+                                   gold_positive)
+    return {"acc": acc, "micro_p": p, "micro_r": r, "micro_f1": f1}
+
+
 def labels_to_tags(label_ids, mask, inv_label_map: Dict[int, str],
                    pred_ids=None):
     """Device label/pred id arrays → y_true/y_pred tag lists, skipping the

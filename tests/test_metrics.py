@@ -143,3 +143,17 @@ class TestEvalJson:
         nbest, errors = eval_json(examples, y_true, y_pred)
         assert nbest["train-0"]["gold_terms"] == ["great phone ", "battery "]
         assert "train-0" in errors  # missed "battery"
+
+
+class TestClassificationEval:
+    def test_acc_and_micro(self):
+        from mtvaf_tpu.eval.tagging import classification_eval
+        gold = ["pos", "neg", "neu", "none", "pos"]
+        pred = ["pos", "neu", "neu", "pos", "none"]
+        m = classification_eval(gold, pred, negative_label="none")
+        assert m["acc"] == pytest.approx(2 / 5)
+        # positives: gold has 4 non-none, pred has 4 non-none, correct
+        # positive matches: pos@0, neu@2 → 2
+        assert m["micro_p"] == pytest.approx(0.5)
+        assert m["micro_r"] == pytest.approx(0.5)
+        assert m["micro_f1"] == pytest.approx(0.5)
