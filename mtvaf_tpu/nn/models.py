@@ -93,7 +93,13 @@ def compute_visual_guides(resnet_params, images, aux_imgs, *, depth: int):
 
 
 def visual_prompt(prefix_params, main_guides, aux_guides, bert_cfg: BertConfig):
-    """Guides → per-layer prefix KVs + encoded activations for the ANP loss."""
+    """Guides → per-layer prefix KVs + encoded activations for the ANP loss.
+
+    Params are pre-cast to the guides' dtype (bf16 in training) so the large
+    ANP classifier kernels are read from HBM once at half width."""
+    dtype = main_guides.dtype
+    if dtype != jnp.float32:
+        prefix_params = jax.tree.map(lambda x: x.astype(dtype), prefix_params)
     kvs, enc_main = build_prefix_kvs(
         prefix_params, main_guides, aux_guides,
         num_heads=bert_cfg.num_attention_heads, head_dim=bert_cfg.head_dim)
@@ -214,6 +220,8 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
     prefix_kvs = None
     if cfg.use_prefix and visual_guides is not None:
         main_g, aux_g = visual_guides
+        main_g = main_g.astype(dtype)
+        aux_g = aux_g.astype(dtype) if aux_g is not None else None
         prefix_kvs, _, _ = visual_prompt(params["prefix"], main_g, aux_g, bert_cfg)
 
     start_logits, end_logits, seq, hidden = span_extraction(
@@ -319,6 +327,8 @@ def crf_model_forward(params, cfg, bert_cfg: BertConfig, batch: Dict,
     prefix_kvs, img_tag_loss = None, 0.0
     if cfg.use_prefix and visual_guides is not None:
         main_g, aux_g = visual_guides
+        main_g = main_g.astype(dtype)
+        aux_g = aux_g.astype(dtype) if aux_g is not None else None
         prefix_kvs, enc_main, enc_aux = visual_prompt(
             params["prefix"], main_g, aux_g, bert_cfg)
         if cfg.vao:

@@ -135,6 +135,15 @@ def anp_kl_loss(params: Dict, encoded_main: jnp.ndarray,
         return elt.sum() / target.shape[0]
 
     rngs = [None] * 4 if rng is None else list(jax.random.split(rng, 4))
+    dtype = encoded_main.dtype
+    if dtype != jnp.float32:
+        # One half-width HBM read of the large (6144, num_anp) kernels.
+        params = {**params,
+                  "img_classifier": jax.tree.map(
+                      lambda x: x.astype(dtype), params["img_classifier"]),
+                  "aux_img_classifiers": jax.tree.map(
+                      lambda x: x.astype(dtype),
+                      params.get("aux_img_classifiers", {}))}
     pooled = encoded_main.mean(axis=1)                         # (B, 6144)
     pooled = dropout(pooled, dropout_rate, rngs[0])
     logits = dense(params["img_classifier"], pooled)
