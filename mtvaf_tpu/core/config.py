@@ -168,6 +168,10 @@ class Config:
             raise ValueError(f"unknown dataset_name: {self.dataset_name!r}")
         if self.gradient_accumulation_steps < 1:
             raise ValueError("gradient_accumulation_steps must be >= 1")
+        if self.train_batch_size % self.gradient_accumulation_steps != 0:
+            raise ValueError(
+                "train_batch_size must be divisible by "
+                "gradient_accumulation_steps (micro-batching)")
         if self.use_prefix:
             if self.prefix_len != 4:
                 raise ValueError(

@@ -98,9 +98,14 @@ class CrfTrainer:
         batch["aux_guides"] = aux_g
         return batch
 
-    def _device_batch(self, batch: Dict) -> Dict:
+    def _device_batch(self, batch: Dict, accum: int = 1) -> Dict:
         drop = ("batch_valid", "auxlabel_ids")
-        return {k: jnp.asarray(v) for k, v in batch.items() if k not in drop}
+        out = {k: jnp.asarray(v) for k, v in batch.items() if k not in drop}
+        if accum > 1:
+            # micro-batch leading dim for the scan-accumulated step
+            out = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+                   for k, v in out.items()}
+        return out
 
     def load_pretrained(self, load_path: str):
         from ..core.checkpoint import load_torch_file
@@ -140,7 +145,8 @@ class CrfTrainer:
                     seed=cfg.seed, epoch=epoch)))
             for batch in batches:
                 valid = batch.pop("batch_valid")
-                dev_batch = self._device_batch(batch)
+                dev_batch = self._device_batch(
+                    batch, cfg.gradient_accumulation_steps)
                 self.rng, step_rng = jax.random.split(self.rng)
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,

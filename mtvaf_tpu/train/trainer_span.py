@@ -120,9 +120,14 @@ class SpanTrainer:
         batch["aux_guides"] = aux_g
         return batch
 
-    def _device_batch(self, batch: Dict) -> Dict:
-        return {k: jnp.asarray(v) for k, v in batch.items()
-                if k != "batch_valid"}
+    def _device_batch(self, batch: Dict, accum: int = 1) -> Dict:
+        out = {k: jnp.asarray(v) for k, v in batch.items()
+               if k != "batch_valid"}
+        if accum > 1:
+            # micro-batch leading dim for the scan-accumulated step
+            out = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+                   for k, v in out.items()}
+        return out
 
     # ------------------------------------------------------------------
     def load_pretrained(self, load_path: str):
@@ -162,7 +167,8 @@ class SpanTrainer:
                     seed=cfg.seed, epoch=epoch)))
             for batch in batches:
                 valid = batch.pop("batch_valid")
-                dev_batch = self._device_batch(batch)
+                dev_batch = self._device_batch(
+                    batch, cfg.gradient_accumulation_steps)
                 self.rng, step_rng = jax.random.split(self.rng)
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,

@@ -77,3 +77,22 @@ def test_span_pipeline_with_augment(tmp_path, tokenizer):
     trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=ds,
                           dev_dataset=ds, test_dataset=ds)
     trainer.train()
+
+
+def test_crf_pipeline_with_grad_accumulation(tmp_path, tokenizer):
+    """gradient_accumulation_steps > 1 micro-batches the step via scan."""
+    from mtvaf_tpu.data.synthetic import make_crf_files
+    tsv = tmp_path / "train.txt"
+    anp = tmp_path / "anp.json"
+    make_crf_files(str(tsv), str(anp), 8, seed=3, num_anp=8)
+    cfg = Config(dataset_name="twitter2015", max_seq=24, train_batch_size=4,
+                 eval_batch_size=4, num_epochs=1, eval_begin_epoch=99,
+                 bf16=False, num_anp_classes=8, lr=1e-3,
+                 gradient_accumulation_steps=2)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = CrfDataset.load(cfg, tokenizer, str(tsv), str(anp))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                         dev_dataset=ds, test_dataset=ds)
+    trainer.train()
+    assert int(trainer.state.step) == 2  # 8 ex / batch 4 = 2 steps
