@@ -47,3 +47,23 @@ def test_span_predictor(tokenizer):
         for term, pol in sent_preds:
             assert pol in ("other", "neutral", "positive", "negative",
                            "conflict")
+
+
+def test_crf_predictor_with_images(tokenizer):
+    """Prefix path: raw images → ResNet guides → prefix KVs → decode."""
+    import numpy as np
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    pred = CrfPredictor(cfg, bert_cfg, params, tokenizer, resnet_params=resnet)
+    rng = np.random.RandomState(0)
+    images = rng.randn(2, 64, 64, 3).astype(np.float32)
+    aux = rng.randn(2, 3, 64, 64, 3).astype(np.float32)
+    out = pred.predict(["great pizza", "slow service here"], images=images,
+                       aux_images=aux)
+    assert len(out) == 2
