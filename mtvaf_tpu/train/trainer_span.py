@@ -220,17 +220,21 @@ class SpanTrainer:
         return self.best_dev_metric
 
     # ------------------------------------------------------------------
-    def _predict(self, dataset) -> list:
-        """Eval loop: extraction → host candidates/NMS → classification."""
+    def _predict(self, dataset, window: int = 4) -> list:
+        """Eval loop: extraction → host candidates/NMS → classification.
+
+        The device→host seam is pipelined: extractions for the next batches
+        are dispatched (window deep) while the host runs NMS on the current
+        one, so the TPU never idles on the text work."""
+        from collections import deque
+
         from ..data.datasets import iterate_batches
         cfg = self.cfg
         all_results = []
-        for batch in iterate_batches(dataset.arrays, cfg.eval_batch_size):
-            batch = self._attach_guides(batch, dataset)
-            valid = batch.pop("batch_valid")
-            dev_batch = self._device_batch(batch)
-            s_logits, e_logits, seq = self.extraction_step(
-                self.state.params, dev_batch)
+        pending = deque()
+
+        def drain_one():
+            batch, valid, s_logits, e_logits, seq = pending.popleft()
             s_np, e_np = np.asarray(s_logits), np.asarray(e_logits)
             ss, se, labels, masks = batch_eval_candidates(
                 dataset.examples, dataset.features, batch["example_index"],
@@ -248,6 +252,18 @@ class SpanTrainer:
                     end_indexes=se[j],
                     cls_pred=list(ac_np[j].argmax(axis=-1)),
                     span_masks=masks[j]))
+
+        for batch in iterate_batches(dataset.arrays, cfg.eval_batch_size):
+            batch = self._attach_guides(batch, dataset)
+            valid = batch.pop("batch_valid")
+            dev_batch = self._device_batch(batch)
+            s_logits, e_logits, seq = self.extraction_step(
+                self.state.params, dev_batch)
+            pending.append((batch, valid, s_logits, e_logits, seq))
+            if len(pending) > window:
+                drain_one()
+        while pending:
+            drain_one()
         return all_results
 
     def evaluate(self, epoch: int) -> float:
