@@ -202,13 +202,21 @@ def bert_embeddings(params, cfg: BertConfig, input_ids, token_type_ids=None,
 
 
 def bert_encoder(params, cfg: BertConfig, embedding_output, attention_mask,
-                 prefix_kvs=None, rng=None, attention_impl=xla_attention):
+                 prefix_kvs=None, rng=None, attention_impl=xla_attention,
+                 capture_layer=None, collect_all_hidden=False):
     """Encoder stack under lax.scan.
 
     attention_mask: (B, P+S) when prefix_kvs given, else (B, S) — the caller
     prepends the ones-mask for the prefix (reference models/bert_model.py:257-259).
     prefix_kvs: optional (L, 2, B, H, P, Dh).
-    Returns (last_hidden, all_hidden (L+1, B, S, H)).
+
+    ``capture_layer``: optionally capture ONE intermediate hidden state
+    (index k in the reference's hidden_states list, where 0 = embeddings) via
+    the scan carry — the probe only ever reads layer 7, and stacking all L+1
+    states writes ~150 MB/step to HBM for nothing.  ``collect_all_hidden``
+    restores the full (L+1, B, S, H) stack (tests/parity).
+
+    Returns (last_hidden, all_hidden or None, captured or None).
     """
     bias = mask_to_bias(attention_mask)
     L = cfg.num_hidden_layers
@@ -236,32 +244,48 @@ def bert_encoder(params, cfg: BertConfig, embedding_output, attention_mask,
     else:
         layer_rngs = jax.random.split(rng, L)
 
-    def body(hidden, xs):
-        lp, pkv, lrng = xs
+    capture0 = None
+    if capture_layer is not None:
+        capture0 = embedding_output if capture_layer == 0 \
+            else jnp.zeros_like(embedding_output)
+
+    def body(carry, xs):
+        hidden, captured = carry
+        layer_idx, lp, pkv, lrng = xs
         new_hidden = bert_layer(lp, hidden, bias, cfg, prefix_kv=pkv, rng=lrng,
                                 attention_impl=attention_impl)
-        return new_hidden, new_hidden
+        if captured is not None:
+            # hidden_states[k] for k >= 1 is the output of layer k (1-based);
+            # layer_idx is 0-based, so capture after layer capture_layer - 1.
+            captured = jnp.where(layer_idx == capture_layer - 1, new_hidden,
+                                 captured)
+        ys = new_hidden if collect_all_hidden else None
+        return (new_hidden, captured), ys
 
-    xs = (params["layers"],
-          prefix_kvs,
-          layer_rngs)
+    idxs = jnp.arange(L)
+    xs = (idxs, params["layers"], prefix_kvs, layer_rngs)
     if prefix_kvs is None and layer_rngs is None:
-        last, hs = jax.lax.scan(
-            lambda h, lp: body(h, (lp, None, None)), embedding_output,
-            params["layers"])
+        (last, captured), hs = jax.lax.scan(
+            lambda c, x: body(c, (x[0], x[1], None, None)),
+            (embedding_output, capture0), (idxs, params["layers"]))
     elif prefix_kvs is None:
-        last, hs = jax.lax.scan(
-            lambda h, x: body(h, (x[0], None, x[1])), embedding_output,
-            (params["layers"], layer_rngs))
+        (last, captured), hs = jax.lax.scan(
+            lambda c, x: body(c, (x[0], x[1], None, x[2])),
+            (embedding_output, capture0),
+            (idxs, params["layers"], layer_rngs))
     elif layer_rngs is None:
-        last, hs = jax.lax.scan(
-            lambda h, x: body(h, (x[0], x[1], None)), embedding_output,
-            (params["layers"], prefix_kvs))
+        (last, captured), hs = jax.lax.scan(
+            lambda c, x: body(c, (x[0], x[1], x[2], None)),
+            (embedding_output, capture0),
+            (idxs, params["layers"], prefix_kvs))
     else:
-        last, hs = jax.lax.scan(body, embedding_output, xs)
+        (last, captured), hs = jax.lax.scan(body, (embedding_output, capture0),
+                                            xs)
 
-    all_hidden = jnp.concatenate([embedding_output[None], hs], axis=0)
-    return last, all_hidden
+    all_hidden = None
+    if collect_all_hidden:
+        all_hidden = jnp.concatenate([embedding_output[None], hs], axis=0)
+    return last, all_hidden, captured
 
 
 def bert_pooler(params, last_hidden):
@@ -270,12 +294,15 @@ def bert_pooler(params, last_hidden):
 
 def bert_model(params, cfg: BertConfig, input_ids, attention_mask=None,
                token_type_ids=None, prefix_kvs=None, rng=None,
-               dtype=jnp.float32, attention_impl=xla_attention):
+               dtype=jnp.float32, attention_impl=xla_attention,
+               capture_layer=None, collect_all_hidden=False):
     """Full model: embeddings → encoder → pooler.
 
     ``attention_mask`` here is the *prompt* attention mask: (B, P+S) when a
     prefix is attached, (B, S) otherwise.
-    Returns dict(last_hidden_state, hidden_states, pooler_output).
+    Returns dict(last_hidden_state, hidden_states, pooler_output,
+    captured_hidden) — hidden_states only with ``collect_all_hidden``,
+    captured_hidden only with ``capture_layer`` (see bert_encoder).
     """
     b, s = input_ids.shape
     if attention_mask is None:
@@ -283,12 +310,14 @@ def bert_model(params, cfg: BertConfig, input_ids, attention_mask=None,
     emb_rng, enc_rng = (None, None) if rng is None else jax.random.split(rng)
     x = bert_embeddings(params, cfg, input_ids, token_type_ids, rng=emb_rng,
                         dtype=dtype)
-    last, all_hidden = bert_encoder(params, cfg, x, attention_mask,
-                                    prefix_kvs=prefix_kvs, rng=enc_rng,
-                                    attention_impl=attention_impl)
+    last, all_hidden, captured = bert_encoder(
+        params, cfg, x, attention_mask, prefix_kvs=prefix_kvs, rng=enc_rng,
+        attention_impl=attention_impl, capture_layer=capture_layer,
+        collect_all_hidden=collect_all_hidden)
     return {
         "last_hidden_state": last,
         "hidden_states": all_hidden,
+        "captured_hidden": captured,
         "pooler_output": bert_pooler(params, last),
     }
 
@@ -302,14 +331,17 @@ def get_embedding_output(params, cfg: BertConfig, input_ids,
 
 
 def get_bert_output(params, cfg: BertConfig, embedding_output, attention_mask,
-                    prefix_kvs=None, rng=None, attention_impl=xla_attention):
+                    prefix_kvs=None, rng=None, attention_impl=xla_attention,
+                    capture_layer=None, collect_all_hidden=False):
     """Encoder half of the split forward (reference
     models/modeling_bert.py:1127-1157)."""
-    last, all_hidden = bert_encoder(params, cfg, embedding_output,
-                                    attention_mask, prefix_kvs=prefix_kvs,
-                                    rng=rng, attention_impl=attention_impl)
+    last, all_hidden, captured = bert_encoder(
+        params, cfg, embedding_output, attention_mask, prefix_kvs=prefix_kvs,
+        rng=rng, attention_impl=attention_impl, capture_layer=capture_layer,
+        collect_all_hidden=collect_all_hidden)
     return {
         "last_hidden_state": last,
         "hidden_states": all_hidden,
+        "captured_hidden": captured,
         "pooler_output": bert_pooler(params, last),
     }

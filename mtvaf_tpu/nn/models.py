@@ -156,8 +156,9 @@ def init_span_model_params(rng, cfg, bert_cfg: BertConfig,
 def span_extraction(params, cfg, bert_cfg: BertConfig, input_ids, input_mask,
                     segment_ids, prefix_kvs=None, rng=None,
                     attention_impl=xla_attention, dtype=jnp.float32,
-                    cutoff=None):
-    """BERT forward → start/end logits (+ sequence output, hidden states)
+                    cutoff=None, capture_layer=None):
+    """BERT forward → start/end logits (+ sequence output, optionally one
+    captured hidden state for the probe)
     (reference models/bert_model.py:323-361).
 
     ``cutoff``: optional (cutoff_fn, rng) applying embedding-space
@@ -179,18 +180,20 @@ def span_extraction(params, cfg, bert_cfg: BertConfig, input_ids, input_mask,
             prompt_attention_mask(cut_mask, prefix_kvs.shape[-2])
         out = get_bert_output(params["bert"], bert_cfg, embeds, mask,
                               prefix_kvs=prefix_kvs, rng=enc_rng,
-                              attention_impl=attention_impl)
+                              attention_impl=attention_impl,
+                              capture_layer=capture_layer)
     else:
         mask = input_mask if prefix_kvs is None else \
             prompt_attention_mask(input_mask, prefix_kvs.shape[-2])
         out = bert_model(params["bert"], bert_cfg, input_ids, mask,
                          token_type_ids=segment_ids, prefix_kvs=prefix_kvs,
                          rng=bert_rng, dtype=dtype,
-                         attention_impl=attention_impl)
+                         attention_impl=attention_impl,
+                         capture_layer=capture_layer)
     seq = dropout(out["last_hidden_state"], bert_cfg.hidden_dropout_prob, drop_rng)
     ae_logits = dense(params["binary_affine"], seq).astype(jnp.float32)
     start_logits, end_logits = ae_logits[..., 0], ae_logits[..., 1]
-    return start_logits, end_logits, seq, out["hidden_states"]
+    return start_logits, end_logits, seq, out["captured_hidden"]
 
 
 def span_classification(params, cfg, seq_output, span_starts, span_ends,
@@ -224,10 +227,11 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
         aux_g = aux_g.astype(dtype) if aux_g is not None else None
         prefix_kvs, _, _ = visual_prompt(params["prefix"], main_g, aux_g, bert_cfg)
 
-    start_logits, end_logits, seq, hidden = span_extraction(
+    start_logits, end_logits, seq, captured = span_extraction(
         params, cfg, bert_cfg, batch["input_ids"], batch["input_mask"],
         batch["segment_ids"], prefix_kvs=prefix_kvs, rng=rngs[0],
-        attention_impl=attention_impl, dtype=dtype, cutoff=cutoff)
+        attention_impl=attention_impl, dtype=dtype, cutoff=cutoff,
+        capture_layer=cfg.probe_layer if cfg.use_probe else None)
 
     # Optional DiGCN re-encoding of the sequence before classification
     # (reference models/bert_model.py:270-281).
@@ -278,7 +282,7 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
         out["penal"] = penal
 
     if cfg.use_probe:
-        p_loss = probe_loss(params["probe"], hidden[cfg.probe_layer])
+        p_loss = probe_loss(params["probe"], captured)
         out["probe_loss"] = p_loss
         out["ori_loss"] = tot_loss
         tot_loss = combine_loss(tot_loss, p_loss, cfg.beta,
@@ -344,7 +348,8 @@ def crf_model_forward(params, cfg, bert_cfg: BertConfig, batch: Dict,
     out = bert_model(params["bert"], bert_cfg, batch["input_ids"], mask,
                      token_type_ids=batch["segment_ids"],
                      prefix_kvs=prefix_kvs, rng=rngs[0], dtype=dtype,
-                     attention_impl=attention_impl)
+                     attention_impl=attention_impl,
+                     capture_layer=cfg.probe_layer if cfg.use_probe else None)
     seq = dropout(out["last_hidden_state"], 0.1, rngs[1])
     emissions = dense(params["fc"], seq).astype(jnp.float32)
 
@@ -353,7 +358,7 @@ def crf_model_forward(params, cfg, bert_cfg: BertConfig, batch: Dict,
         loss = crf_loss(params["crf"], emissions, batch["label_ids"],
                         batch["input_mask"])
         if cfg.use_probe:
-            p_loss = probe_loss(params["probe"], out["hidden_states"][cfg.probe_layer])
+            p_loss = probe_loss(params["probe"], out["captured_hidden"])
             result["probe_loss"] = p_loss
             loss = combine_loss(loss, p_loss, cfg.beta, 30)
         result["img_tag_loss"] = cfg.alpha * img_tag_loss

@@ -76,8 +76,13 @@ class TestHFParity:
                      output_hidden_states=True)
         with jax.default_matmul_precision("highest"):
             out = bert_model(params, cfg, jnp.asarray(input_ids),
-                             jnp.asarray(mask))
+                             jnp.asarray(mask), collect_all_hidden=True,
+                             capture_layer=2)
         assert out["hidden_states"].shape[0] == cfg.num_hidden_layers + 1
+        # captured layer equals the stacked entry
+        np.testing.assert_allclose(np.asarray(out["captured_hidden"]),
+                                   np.asarray(out["hidden_states"][2]),
+                                   atol=1e-6)
         for i, h_ref in enumerate(ref.hidden_states):
             np.testing.assert_allclose(
                 np.asarray(out["hidden_states"][i]), h_ref.numpy(),

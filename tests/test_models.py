@@ -108,13 +108,13 @@ class TestSpanModel:
         cfg, bert_cfg = tiny_cfgs
         params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
         batch = make_span_batch(bert_cfg)
-        s, e, seq, hidden = span_extraction(
+        s, e, seq, captured = span_extraction(
             params, cfg, bert_cfg, batch["input_ids"], batch["input_mask"],
-            batch["segment_ids"])
+            batch["segment_ids"], capture_layer=2)
         ac = span_classification(params, cfg, seq, batch["span_starts"],
                                  batch["span_ends"])
         assert ac.shape == (2, 6, 4)
-        assert hidden.shape[0] == bert_cfg.num_hidden_layers + 1
+        assert captured.shape == seq.shape
 
 
 class TestCRFModel:
