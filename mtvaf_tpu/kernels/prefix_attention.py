@@ -48,7 +48,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
         o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) / l
         o_ref[0, h] = o.astype(o_ref.dtype)
-        lse_ref[0, h] = (m + jnp.log(l))[:, 0]
+        lse_ref[0, h] = m + jnp.log(l)          # (S, 1)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
@@ -60,7 +60,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
         v = v_ref[0, h].astype(jnp.float32)
         o = o_ref[0, h].astype(jnp.float32)
         do = do_ref[0, h].astype(jnp.float32)
-        lse = lse_ref[0, h]                           # (S,)
+        lse = lse_ref[0, h, :, 0]                     # (S,)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale \
@@ -83,14 +83,29 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
         dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
-def _spec4(h, s, d):
-    return pl.BlockSpec((1, h, s, d), lambda i: (i, 0, 0, 0),
+def _spec4(hb, s, d):
+    return pl.BlockSpec((1, hb, s, d), lambda i, j: (i, j, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _spec3(s, t):
-    return pl.BlockSpec((1, s, t), lambda i: (i, 0, 0),
+    return pl.BlockSpec((1, s, t), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+
+
+def _heads_per_program(h: int, s: int) -> int:
+    """Largest head block that keeps one program's working set in VMEM.
+
+    At S=128 all 12 heads fit one program (fewest grid iterations, measured
+    fastest); at S=512 the backward working set exceeds the 16 MB scoped VMEM
+    with 12 resident heads, so the block shrinks.  Budget: hb·S ≤ 1536 rows.
+    """
+    hb = h
+    while hb > 1 and (hb * s > 1536 or h % hb != 0):
+        hb -= 1
+    while h % hb != 0:
+        hb -= 1
+    return max(hb, 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -102,17 +117,18 @@ def _attention(q, k, v, bias, scale):
 def _attention_fwd_impl(q, k, v, bias, scale):
     b, h, s, d = q.shape
     t = k.shape[2]
+    hb = _heads_per_program(h, s)
     # bias (B, 1|H, 1|S, T) → (B, S_b, T); heads share the mask in this model.
     bias_f = jnp.broadcast_to(bias[:, 0], (b, bias.shape[2], t))
 
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, heads=h),
-        grid=(b,),
-        in_specs=[_spec4(h, s, d), _spec4(h, t, d), _spec4(h, t, d),
+        functools.partial(_fwd_kernel, scale=scale, heads=hb),
+        grid=(b, h // hb),
+        in_specs=[_spec4(hb, s, d), _spec4(hb, t, d), _spec4(hb, t, d),
                   _spec3(bias.shape[2], t)],
-        out_specs=(_spec4(h, s, d), _spec3(h, s)),
+        out_specs=(_spec4(hb, s, d), _spec4(hb, s, 1)),
         out_shape=(jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, s), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32)),
     )(q, k, v, bias_f)
     return o, (q, k, v, bias_f, o, lse)
 
@@ -126,14 +142,16 @@ def _attention_bwd(scale, res, g):
     q, k, v, bias_f, o, lse, bias_shape = res
     b, h, s, d = q.shape
     t = k.shape[2]
+    hb = _heads_per_program(h, s)
 
+    lse_spec = _spec4(hb, s, 1)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, heads=h),
-        grid=(b,),
-        in_specs=[_spec4(h, s, d), _spec4(h, t, d), _spec4(h, t, d),
-                  _spec3(bias_f.shape[1], t), _spec4(h, s, d), _spec3(h, s),
-                  _spec4(h, s, d)],
-        out_specs=(_spec4(h, s, d), _spec4(h, t, d), _spec4(h, t, d)),
+        functools.partial(_bwd_kernel, scale=scale, heads=hb),
+        grid=(b, h // hb),
+        in_specs=[_spec4(hb, s, d), _spec4(hb, t, d), _spec4(hb, t, d),
+                  _spec3(bias_f.shape[1], t), _spec4(hb, s, d), lse_spec,
+                  _spec4(hb, s, d)],
+        out_specs=(_spec4(hb, s, d), _spec4(hb, t, d), _spec4(hb, t, d)),
         out_shape=(jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, t, d), k.dtype),
                    jax.ShapeDtypeStruct((b, h, t, d), v.dtype)),
