@@ -53,3 +53,26 @@ def test_backward_matches_xla():
     for a, b in zip(gr, gg):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
                                    rtol=1e-4)
+
+
+def test_heads_per_program_blocking():
+    from mtvaf_tpu.kernels.prefix_attention import _heads_per_program
+    assert _heads_per_program(12, 128) == 12   # all heads, one program
+    assert _heads_per_program(12, 256) == 6
+    assert _heads_per_program(12, 512) == 3    # VMEM-safe at long context
+    assert _heads_per_program(12, 4096) == 1
+    # always divides the head count
+    for h in (4, 8, 12, 16):
+        for s in (64, 128, 384, 512):
+            hb = _heads_per_program(h, s)
+            assert h % hb == 0 and hb >= 1
+
+
+def test_partial_head_blocks_match_xla():
+    """hb < H path (seq long enough to split heads across programs)."""
+    from mtvaf_tpu.kernels.prefix_attention import prefix_flash_attention
+    q, k, v, bias = make_inputs(B=1, H=4, S=512, P=4, D=8)
+    with jax.default_matmul_precision("highest"):
+        ref = xla_attention(q, k, v, bias)
+        got = prefix_flash_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
