@@ -221,3 +221,21 @@ class TestMMReaders:
                                       "train", visual_context=vc)
         assert examples[0].text_a.endswith(" [SEP] a man in a suit")
         assert " [SEP] " not in examples[1].text_a
+
+
+class TestPrefetch:
+    def test_order_preserved(self):
+        from mtvaf_tpu.data.datasets import prefetch
+        assert list(prefetch(iter(range(10)), size=3)) == list(range(10))
+
+    def test_exception_propagates(self):
+        from mtvaf_tpu.data.datasets import prefetch
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = prefetch(gen(), size=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)
