@@ -7,10 +7,11 @@ additive mask covers prefix+sequence, and position ids never shift.  The
 caller concatenates prefix KVs before invoking (cheap at P=16), so the kernel
 sees q (B, H, S, D) and k/v (B, H, T, D) with T = P + S.
 
-At MTVAF sizes (S=128..512, T=S+16, D=64) a whole batch element — all heads —
-fits VMEM, so the grid is (B,) with the head loop unrolled inside the kernel:
-one program per example instead of B×H tiny programs (measured ~20% faster
-than a (B, H) grid; scores never round-trip to HBM either way).  softmax
+At MTVAF sizes (S=128..512, T=S+16, D=64) many heads of one batch element fit
+VMEM together, so the grid is (B, H/hb) with an unrolled hb-head loop inside
+each program — hb adapts to the sequence length (all 12 heads at S=128, 3 at
+S=512; see _heads_per_program).  Fewer, fatter programs measured ~20% faster
+than a (B, H) grid of tiny ones; scores never round-trip to HBM.  softmax
 statistics are fp32; the backward pass recomputes probabilities flash-style
 from the saved per-row log-sum-exp instead of saving the (S, T) matrix.
 
