@@ -158,6 +158,9 @@ class Config:
     profile_steps: int = 5              # trace window length (train steps)
     save_checkpoints: bool = False      # full train-state checkpoint per epoch
     resume: bool = False                # resume from latest checkpoint
+    optimizer_mu_bf16: bool = True      # AdamW first moment in bf16 (halves
+                                        # its HBM traffic, ~1.4ms/step; second
+                                        # moment + params stay fp32)
     span_ac_loss_mode: str = "reference"  # 'reference' (unmasked mean CE —
                                           # the reference's mask is a no-op,
                                           # models/bert_model.py:302-303) or

@@ -85,9 +85,14 @@ def build_optimizer(params: Dict, cfg, *, total_steps: int,
     warmup_steps = int(cfg.warmup_ratio * total_steps)
     sched = linear_warmup_schedule(cfg.lr, warmup_steps, total_steps)
 
+    mu_dtype = None
+    if getattr(cfg, "optimizer_mu_bf16", False):
+        import jax.numpy as jnp
+        mu_dtype = jnp.bfloat16
+
     def adamw(schedule):
         return optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                           weight_decay=1e-2)
+                           weight_decay=1e-2, mu_dtype=mu_dtype)
 
     if not use_prefix_groups:
         # bert_before_train: one group over everything (torch AdamW defaults).
