@@ -32,7 +32,7 @@ def test_span_pipeline_learns(tmp_path, tokenizer):
     make_learnable_span_file(str(train_f), 64, seed=0)
     make_learnable_span_file(str(dev_f), 32, seed=99)
     cfg = Config(dataset_name="twitter15", max_seq=16, train_batch_size=8,
-                 eval_batch_size=8, num_epochs=12, eval_begin_epoch=12,
+                 eval_batch_size=8, num_epochs=18, eval_begin_epoch=16,
                  n_best_size=6, max_answer_length=2, logit_threshold=0.0,
                  bf16=False, lr=2e-3, warmup_ratio=0.1,
                  save_path=str(tmp_path / "out"))
