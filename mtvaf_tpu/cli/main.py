@@ -211,6 +211,7 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
             from ..core.checkpoint import load_best
             trainer.state = trainer.state._replace(
                 params=load_best(cfg.load_path, trainer.state.params))
+            trainer._shard_state()
 
     if cfg.do_train:
         trainer.train()

@@ -153,6 +153,9 @@ class Config:
     use_pallas_attention: bool = True
     bf16: bool = True            # bf16 activations, fp32 params/master
     cache_prefix_features: bool = True  # ResNet frozen → cache stage features
+    guide_cache_size: int = 8192        # max images whose guides stay in host
+                                        # RAM (LRU; ~245 KB/image); evicted
+                                        # entries spill to a .npy disk cache
     deterministic_eval_images: bool = True  # center crop at eval (survey §5)
     profile_dir: Optional[str] = None   # jax.profiler trace output directory
     profile_steps: int = 5              # trace window length (train steps)

@@ -39,6 +39,46 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def auto_data_axis(n_devices: int, *batch_sizes: int) -> int:
+    """Largest data-parallel axis ≤ n_devices that divides every batch size.
+
+    Used when ``Config.mesh_data == 0`` (auto): the CLI engages all devices
+    it can without changing the user's batch sizes (the reference instead
+    requires the user to pick ``--gpus`` explicitly, MTVAF_training.py:278).
+    """
+    import math
+    g = 0
+    for b in batch_sizes:
+        g = math.gcd(g, int(b))
+    g = g or 1
+    return max(d for d in range(1, max(min(n_devices, g), 1) + 1) if g % d == 0)
+
+
+def put_global_batch(batch: dict, mesh: Mesh, batch_dim: int = 0) -> dict:
+    """Place a host batch on the mesh, sharded over 'data' at ``batch_dim``.
+
+    Single-host: a plain ``device_put``.  Multi-host (``jax.process_count()
+    > 1``): each process holds only ITS rows (the per-host shard produced by
+    ``iterate_batches(process_index=...)``) and the global array is assembled
+    with ``jax.make_array_from_process_local_data`` — the SPMD replacement
+    for the reference's ``DistributedSampler`` + NCCL DDP
+    (MTVAF_training.py:309,331,355).
+    """
+    spec = P(*([None] * batch_dim), "data")
+    sh = NamedSharding(mesh, spec)
+    if all(d.process_index == jax.process_index()
+           for d in mesh.devices.flat):   # fully addressable (incl. 1-host)
+        return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        local = np.asarray(v)
+        global_shape = (local.shape[:batch_dim]
+                        + (local.shape[batch_dim] * jax.process_count(),)
+                        + local.shape[batch_dim + 1:])
+        out[k] = jax.make_array_from_process_local_data(sh, local, global_shape)
+    return out
+
+
 def batch_spec(tree) -> object:
     """PartitionSpec tree sharding every leaf's leading dim over 'data'."""
     return jax.tree.map(lambda x: P("data"), tree)
@@ -96,3 +136,42 @@ def param_sharding(mesh: Mesh, params) -> object:
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def trainer_meshes(cfg):
+    """(train_mesh, eval_mesh) for the production trainers, or (None, None).
+
+    * ``cfg.mesh_data == 0`` auto-sizes the data axis to the most devices the
+      batch sizes divide over; ``mesh_data/mesh_model`` set explicitly are
+      honored exactly (raising on indivisible batches).
+    * a 1×1 layout returns ``(None, None)``: trainers keep the plain
+      single-device path with zero placement overhead.
+    * multi-host: training shards per-host input over the GLOBAL mesh
+      (reference DistributedSampler + DDP, MTVAF_training.py:309,331,355);
+      eval gets a HOST-LOCAL mesh — every host evaluates the full dev/test
+      set independently (identical, deterministic results on all hosts), so
+      host-side span-NMS/metrics never need cross-host gathers.
+    """
+    micro_bsz = cfg.train_batch_size // cfg.gradient_accumulation_steps
+    n_avail = len(jax.devices()) // cfg.mesh_model
+    if cfg.mesh_data > 0:
+        data_axis = cfg.mesh_data
+        for name, b in (("train micro-batch", micro_bsz),
+                        ("eval_batch_size", cfg.eval_batch_size)):
+            if b % data_axis != 0:
+                raise ValueError(f"{name} {b} not divisible by "
+                                 f"mesh_data={data_axis}")
+    else:
+        data_axis = auto_data_axis(n_avail, micro_bsz, cfg.eval_batch_size)
+    if data_axis * cfg.mesh_model <= 1:
+        return None, None
+    train_mesh = make_mesh(data=data_axis, model=cfg.mesh_model)
+    eval_mesh = train_mesh
+    if jax.process_count() > 1:
+        local = [d for d in jax.devices()
+                 if d.process_index == jax.process_index()]
+        local_data = auto_data_axis(len(local) // cfg.mesh_model,
+                                    cfg.eval_batch_size)
+        eval_mesh = make_mesh(data=local_data, model=cfg.mesh_model,
+                              devices=local)
+    return train_mesh, eval_mesh

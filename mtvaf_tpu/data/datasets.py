@@ -145,8 +145,9 @@ def load_gcn_arrays(gcn_file: str, features, max_seq: int) -> Dict[str, np.ndarr
 
 def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int, *,
                     shuffle: bool = False, seed: int = 0, epoch: int = 0,
-                    drop_last: bool = False,
-                    pad_to_full: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                    drop_last: bool = False, pad_to_full: bool = True,
+                    process_index: int = 0,
+                    process_count: int = 1) -> Iterator[Dict[str, np.ndarray]]:
     """Yield fixed-size batches (tail batch padded by repeating the last row,
     with 'batch_valid' marking real rows) so jit shapes never change.
 
@@ -154,7 +155,18 @@ def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int, *,
     the duplicated tail rows contribute to the gradient of one step per
     epoch — with shuffling the bias is negligible and static shapes avoid a
     retrace per tail batch (the reference instead feeds a smaller final
-    batch, retracing would cost far more than the duplicate rows)."""
+    batch, retracing would cost far more than the duplicate rows).
+
+    Multi-host: ``batch_size`` is the GLOBAL batch; with ``process_count > 1``
+    every process walks the same seeded permutation but materializes only its
+    contiguous ``batch_size / process_count`` row slice of each global batch
+    (matching the mesh's process→shard layout).  This is the TPU equivalent
+    of the reference's ``DistributedSampler`` (MTVAF_training.py:331,355) —
+    no host ever loads another host's rows or images."""
+    if batch_size % process_count != 0:
+        raise ValueError(f"global batch {batch_size} not divisible by "
+                         f"{process_count} processes")
+    local = batch_size // process_count
     n = len(next(iter(arrays.values())))
     idx = np.arange(n)
     if shuffle:
@@ -168,8 +180,11 @@ def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int, *,
             if pad_to_full:
                 take = np.concatenate(
                     [take, np.repeat(take[-1:], batch_size - valid)])
+        valid_mask = (np.arange(len(take)) < valid).astype(np.int32)
+        lo = process_index * local
+        take, valid_mask = take[lo:lo + local], valid_mask[lo:lo + local]
         batch = {k: v[take] for k, v in arrays.items()}
-        batch["batch_valid"] = (np.arange(len(take)) < valid).astype(np.int32)
+        batch["batch_valid"] = valid_mask
         yield batch
 
 

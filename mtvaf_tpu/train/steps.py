@@ -94,40 +94,48 @@ def make_train_step(loss_fn: Callable, optimizer, *,
     grad_fn = jax.value_and_grad(lambda p, b, r: compute(p, b, r),
                                  has_aux=True)
 
-    def single_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
-        (loss, metrics), grads = grad_fn(state.params, batch, rng)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        new_state = TrainState(params=params, opt_state=opt_state,
-                               step=state.step + 1)
-        metrics = dict(metrics)
-        metrics["grad_norm"] = jax.tree.reduce(
+    def grad_norm(grads) -> jnp.ndarray:
+        return jax.tree.reduce(
             lambda a, b: a + b,
             jax.tree.map(lambda g: jnp.sum(jnp.square(g.astype(jnp.float32))),
                          grads)) ** 0.5
+
+    def apply(state: TrainState, grads) -> TrainState:
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1)
+
+    def single_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        (loss, metrics), grads = grad_fn(state.params, batch, rng)
+        new_state = apply(state, grads)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = grad_norm(grads)
         return new_state, metrics
 
     def accum_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         """batch leaves have leading (accum_steps, micro_bsz, ...)."""
-        def micro(carry, xs):
-            grads_acc, loss_acc = carry
+        def micro(grads_acc, xs):
             micro_batch, micro_rng = xs
-            (loss, _), grads = grad_fn(state.params, micro_batch, micro_rng)
+            (_, metrics), grads = grad_fn(state.params, micro_batch, micro_rng)
             grads_acc = jax.tree.map(lambda a, g: a + g, grads_acc, grads)
-            return (grads_acc, loss_acc + loss), None
+            return grads_acc, metrics
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
         rngs = jax.random.split(rng, accum_steps)
-        (grads, loss_sum), _ = jax.lax.scan(micro, (zero_grads, 0.0),
-                                            (batch, rngs))
+        grads, stacked = jax.lax.scan(micro, zero_grads, (batch, rngs))
         grads = jax.tree.map(lambda g: g / accum_steps, grads)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        new_state = TrainState(params=params, opt_state=opt_state,
-                               step=state.step + 1)
-        return new_state, {"loss": loss_sum / accum_steps}
+        new_state = apply(state, grads)
+        # Scalar metrics (stacked to (accum,)) average over micro-batches;
+        # per-example metrics (logits/emissions, (accum, micro, ...)) concat
+        # back to the original full-batch row order so the trainer's
+        # train-metric collection sees real predictions (not a gold fallback).
+        metrics = {k: (jnp.mean(v, axis=0) if v.ndim == 1
+                       else v.reshape((-1,) + v.shape[2:]))
+                   for k, v in stacked.items()}
+        metrics["grad_norm"] = grad_norm(grads)
+        return new_state, metrics
 
     step = accum_step if accum_steps > 1 else single_step
     return jax.jit(step, donate_argnums=(0,) if donate else ())

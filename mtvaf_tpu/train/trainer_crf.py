@@ -27,9 +27,10 @@ from ..eval.metrics import eval_json
 from ..eval.tagging import classification_report, labels_to_tags, tagging_scores
 from ..nn.bert import BertConfig, xla_attention
 from ..nn.crf import crf_decode
+from ..core.mesh import put_global_batch, trainer_meshes
 from .optim import build_optimizer
 from .steps import (create_train_state, make_crf_decode_step, make_crf_loss_fn,
-                    make_train_step)
+                    make_train_step, shard_train_state)
 from .trainer_span import GuideCache
 
 logger = logging.getLogger(__name__)
@@ -54,11 +55,15 @@ class CrfTrainer:
         self.inv_label_map = {i: l for l, i in self.label_map.items()}
         self.inv_label_map[0] = "PAD"
 
+        # One optimizer step per yielded batch (accumulation splits the batch
+        # into micro-batches *inside* the step), and iterate_batches pads the
+        # tail to a full batch — so the schedule length is ceil(n/bsz)·epochs
+        # with NO division by gradient_accumulation_steps.
         steps_per_epoch = 0
         if train_dataset is not None:
-            steps_per_epoch = max(len(train_dataset) // cfg.train_batch_size, 1)
-        total_steps = max(steps_per_epoch * cfg.num_epochs //
-                          cfg.gradient_accumulation_steps, 1)
+            steps_per_epoch = max(
+                -(-len(train_dataset) // cfg.train_batch_size), 1)
+        total_steps = max(steps_per_epoch * cfg.num_epochs, 1)
         self.steps_per_epoch = steps_per_epoch
 
         self.optimizer, self.schedule = build_optimizer(
@@ -75,10 +80,26 @@ class CrfTrainer:
                 crf_params, emissions, mask))
 
         self.guide_cache = None
-        if cfg.use_prefix and resnet_params is not None and \
-                train_dataset is not None and train_dataset.image_store:
-            self.guide_cache = GuideCache(resnet_params, cfg.resnet_depth,
-                                          train_dataset.image_store)
+        if cfg.use_prefix and resnet_params is not None and any(
+                d is not None and d.image_store for d in
+                (train_dataset, dev_dataset, test_dataset)):
+            self.guide_cache = GuideCache(
+                resnet_params, cfg.resnet_depth,
+                max_items=cfg.guide_cache_size,
+                cache_dir=os.path.join(cfg.cache_dir, "guides")
+                if cfg.cache_dir else None)
+
+        # SPMD data(-×tensor)-parallel mesh over all devices (reference DDP
+        # engagement point, MTVAF_training.py:301-311).  None = single device.
+        self.mesh, self.eval_mesh = trainer_meshes(cfg)
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        if self.mesh is not None:
+            logger.info("SPMD mesh: %s over %d devices (%d processes)",
+                        dict(zip(self.mesh.axis_names,
+                                 self.mesh.devices.shape)),
+                        self.mesh.devices.size, self.process_count)
+        self._shard_state()
 
         self.best_dev_metric = 0.0
         self.best_dev_epoch = None
@@ -88,30 +109,49 @@ class CrfTrainer:
         self.last_throughput = 0.0
 
     # ------------------------------------------------------------------
+    def _shard_state(self):
+        """(Re-)place params/opt-state on the mesh; call after any state
+        replacement (init, resume, best-model reload, transplant)."""
+        if self.mesh is not None:
+            self.state = shard_train_state(self.state, self.mesh)
+
+    def _eval_params(self):
+        if self.eval_mesh is self.mesh or self.eval_mesh is None:
+            return self.state.params
+        from ..core.mesh import param_sharding
+        sh = param_sharding(self.eval_mesh, self.state.params)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(np.asarray(x), s),
+            self.state.params, sh)
+
     def _attach_guides(self, batch: Dict, dataset) -> Dict:
-        if self.guide_cache is None:
+        if self.guide_cache is None or dataset.image_store is None:
             return batch
         ids = [dataset.features[i].img_id for i in batch["example_index"]]
-        main_g, aux_g = self.guide_cache.batch(ids)
+        main_g, aux_g = self.guide_cache.batch(ids, dataset.image_store)
         batch = dict(batch)
         batch["main_guides"] = main_g
         batch["aux_guides"] = aux_g
         return batch
 
-    def _device_batch(self, batch: Dict, accum: int = 1) -> Dict:
+    def _device_batch(self, batch: Dict, accum: int = 1, mesh=None) -> Dict:
         drop = ("batch_valid", "auxlabel_ids")
-        out = {k: jnp.asarray(v) for k, v in batch.items() if k not in drop}
+        out = {k: np.asarray(v) for k, v in batch.items() if k not in drop}
         if accum > 1:
             # micro-batch leading dim for the scan-accumulated step
             out = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
                    for k, v in out.items()}
-        return out
+        if mesh is not None:
+            return put_global_batch(out, mesh,
+                                    batch_dim=1 if accum > 1 else 0)
+        return {k: jnp.asarray(v) for k, v in out.items()}
 
     def load_pretrained(self, load_path: str):
         from ..core.checkpoint import load_torch_file
         source = load_torch_file(load_path)
         self.state = self.state._replace(
             params=transplant(self.state.params, source))
+        self._shard_state()
 
     # ------------------------------------------------------------------
     def train(self):
@@ -127,6 +167,7 @@ class CrfTrainer:
                 cfg.save_path, self.state)
             if state is not None:
                 self.state = state
+                self._shard_state()
                 self.best_dev_metric = meta.get("best_dev_metric", 0.0)
                 self.best_test_metric = meta.get("best_test_metric", 0.0)
                 logger.info("resumed from epoch %d", start_epoch - 1)
@@ -142,11 +183,13 @@ class CrfTrainer:
             batches = prefetch(
                 (self._attach_guides(b, ds) for b in iterate_batches(
                     ds.arrays, cfg.train_batch_size, shuffle=True,
-                    seed=cfg.seed, epoch=epoch)))
+                    seed=cfg.seed, epoch=epoch,
+                    process_index=self.process_index,
+                    process_count=self.process_count)))
             for batch in batches:
                 valid = batch.pop("batch_valid")
                 dev_batch = self._device_batch(
-                    batch, cfg.gradient_accumulation_steps)
+                    batch, cfg.gradient_accumulation_steps, mesh=self.mesh)
                 self.rng, step_rng = jax.random.split(self.rng)
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,
@@ -155,10 +198,14 @@ class CrfTrainer:
                 loss_devs.append(metrics["loss"])
                 n_examples += int(valid.sum())
 
-                if self.collect_train_metrics and "emissions" in metrics:
+                if self.collect_train_metrics and "emissions" in metrics \
+                        and self.process_count == 1:
+                    # metrics arrays are full-batch order (accum micro-batches
+                    # re-concatenated in steps.accum_step) — use the host
+                    # batch's un-reshaped mask, not dev_batch's (accum, ...).
                     tags, _ = self._emission_decode(
                         self.state.params["crf"], metrics["emissions"],
-                        dev_batch["input_mask"])
+                        jnp.asarray(batch["input_mask"]))
                     step_records.append((batch, valid, tags))
 
             n_steps = len(loss_devs)
@@ -205,13 +252,14 @@ class CrfTrainer:
         # Dispatch all batches first (device results fetched after the loop —
         # a per-step float() would serialize on host round-trips).
         records = []
+        eval_params = self._eval_params()
         batches = prefetch(
             (self._attach_guides(b, dataset) for b in iterate_batches(
                 dataset.arrays, cfg.eval_batch_size)))
         for batch in batches:
             valid = batch.pop("batch_valid")
-            dev_batch = self._device_batch(batch)
-            out = self.decode_step(self.state.params, dev_batch)
+            dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
+            out = self.decode_step(eval_params, dev_batch)
             records.append((batch, valid, out))
 
         y_true, y_pred = [], []
@@ -256,6 +304,7 @@ class CrfTrainer:
             if os.path.exists(best):
                 self.state = self.state._replace(
                     params=load_best(best, self.state.params))
+                self._shard_state()
         y_true, y_pred, loss = self._predict(self.test_dataset)
         f1 = tagging_scores(y_true, y_pred)["micro"]["f1"]
         logger.info("epoch %s test f1 %.4f loss %.4f", epoch, f1, loss)

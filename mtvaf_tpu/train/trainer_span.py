@@ -25,6 +25,7 @@ import numpy as np
 
 from ..core.checkpoint import load_best, save_best, transplant
 from ..core.config import Config
+from ..core.mesh import auto_data_axis, make_mesh, put_global_batch
 from ..eval.metrics import eval_absa
 from ..eval.span_decode import RawFinalResult, batch_eval_candidates
 from ..nn.bert import BertConfig, xla_attention
@@ -32,31 +33,87 @@ from ..nn.models import compute_visual_guides
 from .augment import make_span_augment_fn
 from .optim import build_optimizer
 from .steps import (TrainState, create_train_state, make_classification_step,
-                    make_extraction_step, make_span_loss_fn, make_train_step)
+                    make_extraction_step, make_span_loss_fn, make_train_step,
+                    shard_train_state)
 
 logger = logging.getLogger(__name__)
 
 
 class GuideCache:
-    """Per-image cache of frozen-ResNet stage guides."""
+    """Per-image cache of frozen-ResNet stage guides.
 
-    def __init__(self, resnet_params, depth: int, image_store):
-        self.store = image_store
+    * keyed per (image_store, image_id): each split resolves its aux crops
+      through its OWN aux_map/aux_dir (the reference uses per-split crop
+      dirs/dicts — MTVAF_training.py:321-348);
+    * host RAM is bounded (LRU over ``max_items`` images, ~245 KB each);
+      evicted entries spill to a ``.npy`` disk cache next to the pixel cache
+      (guides are ~600x smaller than the pixels they derive from).
+    """
+
+    def __init__(self, resnet_params, depth: int, *, max_items: int = 8192,
+                 cache_dir: Optional[str] = None):
+        from collections import OrderedDict
         self._guide_fn = jax.jit(
             lambda imgs, aux: compute_visual_guides(resnet_params, imgs, aux,
                                                     depth=depth))
-        self._cache: Dict[str, tuple] = {}
+        self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self.max_items = max(int(max_items), 1)
+        self.cache_dir = cache_dir
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
 
-    def batch(self, image_ids):
-        missing = [i for i in dict.fromkeys(image_ids) if i not in self._cache]
+    @staticmethod
+    def _store_key(store) -> str:
+        return f"{store.img_dir}|{store.aux_dir}"
+
+    def _disk_path(self, key: tuple) -> Optional[str]:
+        if not self.cache_dir:
+            return None
+        import hashlib
+        h = hashlib.md5(("|".join(key)).encode()).hexdigest()
+        return os.path.join(self.cache_dir, h + ".npz")
+
+    def _put(self, key: tuple, value: tuple, *, spill: bool = True):
+        self._cache[key] = value
+        self._cache.move_to_end(key)
+        while len(self._cache) > self.max_items:
+            old_key, old_val = self._cache.popitem(last=False)
+            path = self._disk_path(old_key)
+            if spill and path and not os.path.exists(path):
+                np.savez(path, main=old_val[0], aux=old_val[1])
+
+    def _get(self, key: tuple):
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        path = self._disk_path(key)
+        if path and os.path.exists(path):
+            with np.load(path) as z:
+                value = (z["main"], z["aux"])
+            self._put(key, value, spill=False)
+            return value
+        return None
+
+    def batch(self, image_ids, store):
+        skey = self._store_key(store)
+        keys = [(skey, i) for i in image_ids]
+        # Hold this call's values locally so LRU eviction mid-batch (when
+        # max_items < unique ids per batch) can never drop a needed entry.
+        local = {}
+        for k in dict.fromkeys(keys):
+            v = self._get(k)
+            if v is not None:
+                local[k] = v
+        missing = [k for k in dict.fromkeys(keys) if k not in local]
         if missing:
-            main, aux = self.store.batch(missing, with_aux=True)
+            main, aux = store.batch([k[1] for k in missing], with_aux=True)
             mg, ag = self._guide_fn(jnp.asarray(main), jnp.asarray(aux))
             mg, ag = np.asarray(mg), np.asarray(ag)
-            for j, img in enumerate(missing):
-                self._cache[img] = (mg[j], ag[j])
-        main_g = np.stack([self._cache[i][0] for i in image_ids])
-        aux_g = np.stack([self._cache[i][1] for i in image_ids])
+            for j, k in enumerate(missing):
+                local[k] = (mg[j], ag[j])
+                self._put(k, local[k])
+        main_g = np.stack([local[k][0] for k in keys])
+        aux_g = np.stack([local[k][1] for k in keys])
         return main_g, aux_g
 
 
@@ -73,12 +130,15 @@ class SpanTrainer:
         self.writer = writer
         self.attention_impl = attention_impl
 
+        # One optimizer step per yielded batch (accumulation splits the batch
+        # into micro-batches *inside* the step), and iterate_batches pads the
+        # tail to a full batch — so the schedule length is ceil(n/bsz)·epochs
+        # with NO division by gradient_accumulation_steps.
         steps_per_epoch = 0
         if train_dataset is not None:
             steps_per_epoch = max(
-                len(train_dataset) // cfg.train_batch_size, 1)
-        total_steps = max(steps_per_epoch * cfg.num_epochs //
-                          cfg.gradient_accumulation_steps, 1)
+                -(-len(train_dataset) // cfg.train_batch_size), 1)
+        total_steps = max(steps_per_epoch * cfg.num_epochs, 1)
         self.steps_per_epoch = steps_per_epoch
 
         self.optimizer, self.schedule = build_optimizer(
@@ -97,10 +157,27 @@ class SpanTrainer:
         self.classification_step = make_classification_step(cfg, bert_cfg)
 
         self.guide_cache = None
-        if cfg.use_prefix and resnet_params is not None and \
-                train_dataset is not None and train_dataset.image_store:
-            self.guide_cache = GuideCache(resnet_params, cfg.resnet_depth,
-                                          train_dataset.image_store)
+        if cfg.use_prefix and resnet_params is not None and any(
+                d is not None and d.image_store for d in
+                (train_dataset, dev_dataset, test_dataset)):
+            self.guide_cache = GuideCache(
+                resnet_params, cfg.resnet_depth,
+                max_items=cfg.guide_cache_size,
+                cache_dir=os.path.join(cfg.cache_dir, "guides")
+                if cfg.cache_dir else None)
+
+        # SPMD data(-×tensor)-parallel mesh over all devices (reference DDP
+        # engagement point, MTVAF_training.py:301-311).  None = single device.
+        from ..core.mesh import trainer_meshes
+        self.mesh, self.eval_mesh = trainer_meshes(cfg)
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        if self.mesh is not None:
+            logger.info("SPMD mesh: %s over %d devices (%d processes)",
+                        dict(zip(self.mesh.axis_names,
+                                 self.mesh.devices.shape)),
+                        self.mesh.devices.size, self.process_count)
+        self._shard_state()
 
         self.best_dev_metric = 0.0
         self.best_dev_epoch = None
@@ -109,25 +186,44 @@ class SpanTrainer:
         self.rng = jax.random.PRNGKey(cfg.seed)
 
     # ------------------------------------------------------------------
+    def _shard_state(self):
+        """(Re-)place params/opt-state on the mesh; call after any state
+        replacement (init, resume, best-model reload, transplant)."""
+        if self.mesh is not None:
+            self.state = shard_train_state(self.state, self.mesh)
+
+    def _eval_params(self):
+        if self.eval_mesh is self.mesh or self.eval_mesh is None:
+            return self.state.params
+        from ..core.mesh import param_sharding
+        sh = param_sharding(self.eval_mesh, self.state.params)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(np.asarray(x), s),
+            self.state.params, sh)
+
     def _attach_guides(self, batch: Dict, dataset) -> Dict:
-        if self.guide_cache is None:
+        if self.guide_cache is None or dataset.image_store is None:
             return batch
         ids = [dataset.features[i].image_id or ""
                for i in batch["example_index"]]
-        main_g, aux_g = self.guide_cache.batch(ids)
+        main_g, aux_g = self.guide_cache.batch(ids, dataset.image_store)
         batch = dict(batch)
         batch["main_guides"] = main_g
         batch["aux_guides"] = aux_g
         return batch
 
-    def _device_batch(self, batch: Dict, accum: int = 1) -> Dict:
-        out = {k: jnp.asarray(v) for k, v in batch.items()
+    def _device_batch(self, batch: Dict, accum: int = 1,
+                      mesh=None) -> Dict:
+        out = {k: np.asarray(v) for k, v in batch.items()
                if k != "batch_valid"}
         if accum > 1:
             # micro-batch leading dim for the scan-accumulated step
             out = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
                    for k, v in out.items()}
-        return out
+        if mesh is not None:
+            return put_global_batch(out, mesh,
+                                    batch_dim=1 if accum > 1 else 0)
+        return {k: jnp.asarray(v) for k, v in out.items()}
 
     # ------------------------------------------------------------------
     def load_pretrained(self, load_path: str):
@@ -136,6 +232,7 @@ class SpanTrainer:
         source = load_torch_file(load_path)
         self.state = self.state._replace(
             params=transplant(self.state.params, source))
+        self._shard_state()
 
     def train(self):
         from ..data.datasets import iterate_batches
@@ -152,6 +249,7 @@ class SpanTrainer:
                 cfg.save_path, self.state)
             if state is not None:
                 self.state = state
+                self._shard_state()
                 self.best_dev_metric = meta.get("best_dev_metric", 0.0)
                 logger.info("resumed from epoch %d", start_epoch - 1)
         for epoch in range(start_epoch, cfg.num_epochs + 1):
@@ -164,11 +262,13 @@ class SpanTrainer:
             batches = prefetch(
                 (self._attach_guides(b, ds) for b in iterate_batches(
                     ds.arrays, cfg.train_batch_size, shuffle=True,
-                    seed=cfg.seed, epoch=epoch)))
+                    seed=cfg.seed, epoch=epoch,
+                    process_index=self.process_index,
+                    process_count=self.process_count)))
             for batch in batches:
                 valid = batch.pop("batch_valid")
                 dev_batch = self._device_batch(
-                    batch, cfg.gradient_accumulation_steps)
+                    batch, cfg.gradient_accumulation_steps, mesh=self.mesh)
                 self.rng, step_rng = jax.random.split(self.rng)
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,
@@ -176,7 +276,11 @@ class SpanTrainer:
                 profiler.step_end()
                 loss_devs.append(metrics["loss"])
                 n_examples += int(valid.sum())
-                step_records.append((batch, valid, metrics.get("ac_logits")))
+                if self.process_count == 1:
+                    # multi-host: per-example logits span processes and are
+                    # not host-fetchable; train metrics are single-host only.
+                    step_records.append((batch, valid,
+                                         metrics.get("ac_logits")))
 
             n_steps = len(loss_devs)
             epoch_loss = float(np.sum([np.asarray(l) for l in loss_devs]))
@@ -232,6 +336,7 @@ class SpanTrainer:
         cfg = self.cfg
         all_results = []
         pending = deque()
+        eval_params = self._eval_params()
 
         def drain_one():
             batch, valid, s_logits, e_logits, seq = pending.popleft()
@@ -240,7 +345,7 @@ class SpanTrainer:
                 dataset.examples, dataset.features, batch["example_index"],
                 s_np, e_np, cfg)
             ac_logits = self.classification_step(
-                self.state.params, seq, jnp.asarray(ss, jnp.int32),
+                eval_params, seq, jnp.asarray(ss, jnp.int32),
                 jnp.asarray(se, jnp.int32))
             ac_np = np.asarray(ac_logits)
             for j, ex_idx in enumerate(batch["example_index"]):
@@ -256,9 +361,9 @@ class SpanTrainer:
         for batch in iterate_batches(dataset.arrays, cfg.eval_batch_size):
             batch = self._attach_guides(batch, dataset)
             valid = batch.pop("batch_valid")
-            dev_batch = self._device_batch(batch)
+            dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
             s_logits, e_logits, seq = self.extraction_step(
-                self.state.params, dev_batch)
+                eval_params, dev_batch)
             pending.append((batch, valid, s_logits, e_logits, seq))
             if len(pending) > window:
                 drain_one()
@@ -294,6 +399,7 @@ class SpanTrainer:
             if os.path.exists(best):
                 self.state = self.state._replace(
                     params=load_best(best, self.state.params))
+                self._shard_state()
         results = self._predict(self.test_dataset)
         metrics, nbest = eval_absa(self.test_dataset.examples,
                                    self.test_dataset.features, results,
