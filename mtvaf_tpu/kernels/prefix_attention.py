@@ -17,9 +17,10 @@ from the saved per-row log-sum-exp instead of saving the (S, T) matrix.
 
 The public entry :func:`prefix_flash_attention` is a drop-in
 ``attention_impl`` for :mod:`mtvaf_tpu.nn.bert` (same signature as
-``xla_attention``).  Attention-probability dropout is not applied inside the
-kernel (Config.use_pallas_attention governs the swap; hidden-state dropout is
-unaffected).
+``xla_attention``), including train-time attention-probability dropout
+(reference models/modeling_bert.py:328): keep masks come from the per-core
+hardware PRNG inside the kernel, and the backward pass regenerates them from
+the same seed rather than saving (S, T) mask tensors.
 """
 
 from __future__ import annotations
@@ -27,15 +28,31 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
-                heads):
+def _keep_mask(shape, rate):
+    """Bernoulli(1-rate) keep mask scaled by 1/(1-rate) from the per-core
+    PRNG stream (must be seeded first; draws advance the stream, so forward
+    and backward must draw in the same order to see the same masks)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return (bits >= threshold).astype(jnp.float32) / (1.0 - rate)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref, *,
+                scale, heads, rate):
     bias = bias_ref[0].astype(jnp.float32)            # (1|S, T)
+    if rate > 0.0:
+        # hardware accepts at most 2 seed words: fold (batch, head-block)
+        # program ids into one.
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
     for h in range(heads):
         q = q_ref[0, h].astype(jnp.float32)           # (S, D)
         k = k_ref[0, h].astype(jnp.float32)           # (T, D)
@@ -46,15 +63,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            # dropout on normalized probs a = p/l ⇒ scale the unnormalized p;
+            # lse stays the dropout-free softmax statistic.
+            p = p * _keep_mask(p.shape, rate)
         o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) / l
         o_ref[0, h] = o.astype(o_ref.dtype)
         lse_ref[0, h] = m + jnp.log(l)          # (S, 1)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, heads):
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
+                do_ref, dq_ref, dk_ref, dv_ref, *, scale, heads, rate):
     bias = bias_ref[0].astype(jnp.float32)
+    if rate > 0.0:
+        # same 2-word seeding as the forward kernel → same mask stream.
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
     for h in range(heads):
         q = q_ref[0, h].astype(jnp.float32)
         k = k_ref[0, h].astype(jnp.float32)
@@ -66,12 +91,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, do_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale \
             + bias
-        p = jnp.exp(s - lse[:, None])                 # (S, T)
+        p = jnp.exp(s - lse[:, None])                 # (S, T), softmax probs a
 
-        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        if rate > 0.0:
+            # same seeding + draw order as forward → identical masks.
+            # With y = a∘mask and o = y@v:  dv = yᵀdo;  da = (do vᵀ)∘mask;
+            # ds = a∘(da − delta) where delta = rowsum(do∘o) = rowsum(da∘a).
+            keep = _keep_mask(p.shape, rate)
+            y = p * keep
+        else:
+            keep = None
+            y = p
+
+        dv = jax.lax.dot_general(y, do, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (T, D)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (S, T)
+        if keep is not None:
+            dp = dp * keep
         delta = jnp.sum(do * o, axis=-1, keepdims=True)
         ds = p * (dp - delta)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
@@ -109,13 +146,17 @@ def _heads_per_program(h: int, s: int) -> int:
     return max(hb, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _attention(q, k, v, bias, scale):
-    o, _ = _attention_fwd_impl(q, k, v, bias, scale)
+def _seed_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _attention(q, k, v, bias, seed, scale, rate):
+    o, _ = _attention_fwd_impl(q, k, v, bias, seed, scale, rate)
     return o
 
 
-def _attention_fwd_impl(q, k, v, bias, scale):
+def _attention_fwd_impl(q, k, v, bias, seed, scale, rate):
     b, h, s, d = q.shape
     t = k.shape[2]
     hb = _heads_per_program(h, s)
@@ -123,69 +164,79 @@ def _attention_fwd_impl(q, k, v, bias, scale):
     bias_f = jnp.broadcast_to(bias[:, 0], (b, bias.shape[2], t))
 
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, heads=hb),
+        functools.partial(_fwd_kernel, scale=scale, heads=hb, rate=rate),
         grid=(b, h // hb),
         in_specs=[_spec4(hb, s, d), _spec4(hb, t, d), _spec4(hb, t, d),
-                  _spec3(bias.shape[2], t)],
+                  _spec3(bias.shape[2], t), _seed_spec()],
         out_specs=(_spec4(hb, s, d), _spec4(hb, s, 1)),
         out_shape=(jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, s, 1), jnp.float32)),
-    )(q, k, v, bias_f)
-    return o, (q, k, v, bias_f, o, lse)
+    )(q, k, v, bias_f, seed)
+    return o, (q, k, v, bias_f, seed, o, lse)
 
 
-def _attention_fwd(q, k, v, bias, scale):
-    o, res = _attention_fwd_impl(q, k, v, bias, scale)
+def _attention_fwd(q, k, v, bias, seed, scale, rate):
+    o, res = _attention_fwd_impl(q, k, v, bias, seed, scale, rate)
     return o, res + (bias.shape,)
 
 
-def _attention_bwd(scale, res, g):
-    q, k, v, bias_f, o, lse, bias_shape = res
+def _attention_bwd(scale, rate, res, g):
+    q, k, v, bias_f, seed, o, lse, bias_shape = res
     b, h, s, d = q.shape
     t = k.shape[2]
     hb = _heads_per_program(h, s)
 
     lse_spec = _spec4(hb, s, 1)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, heads=hb),
+        functools.partial(_bwd_kernel, scale=scale, heads=hb, rate=rate),
         grid=(b, h // hb),
         in_specs=[_spec4(hb, s, d), _spec4(hb, t, d), _spec4(hb, t, d),
-                  _spec3(bias_f.shape[1], t), _spec4(hb, s, d), lse_spec,
-                  _spec4(hb, s, d)],
+                  _spec3(bias_f.shape[1], t), _seed_spec(), _spec4(hb, s, d),
+                  lse_spec, _spec4(hb, s, d)],
         out_specs=(_spec4(hb, s, d), _spec4(hb, t, d), _spec4(hb, t, d)),
         out_shape=(jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
                    jax.ShapeDtypeStruct((b, h, t, d), k.dtype),
                    jax.ShapeDtypeStruct((b, h, t, d), v.dtype)),
-    )(q, k, v, bias_f, o, lse, g)
+    )(q, k, v, bias_f, seed, o, lse, g)
 
-    # bias is a mask constant in this model (mask_to_bias over ints).
+    # bias is a mask constant in this model (mask_to_bias over ints); seed is
+    # an integer operand (float0 cotangent).
     dbias = jnp.zeros(bias_shape, dq.dtype)
-    return dq, dk, dv, dbias
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dbias, dseed
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
+
+# numpy constant (a jnp zeros created under trace would leak the tracer
+# through this module-level cache)
+_ZERO_SEED = np.zeros((1,), np.int32)
 
 
 def prefix_flash_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
                            rng=None):
     """Drop-in ``attention_impl`` (see nn.bert.xla_attention signature).
 
-    Attention-prob dropout is intentionally not applied here; when
-    ``dropout_rate > 0`` and an rng is supplied the caller should use
-    ``xla_attention`` (Config.use_pallas_attention governs the swap).
+    Attention-probability dropout (reference models/modeling_bert.py:328) is
+    applied INSIDE the kernel when ``dropout_rate > 0`` and an rng is given:
+    the per-core hardware PRNG is seeded per (example, head-block) program
+    from the rng key, and the backward pass regenerates the same keep masks
+    (same seed + draw order) instead of materializing (S, T) masks in HBM.
     """
-    del dropout_rate, rng
     scale = 1.0 / math.sqrt(q.shape[-1])
-    return _attention(q, k, v, bias, scale)
+    if dropout_rate > 0.0 and rng is not None:
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(rng, (1,), jnp.uint32), jnp.int32)
+        return _attention(q, k, v, bias, seed, scale, float(dropout_rate))
+    return _attention(q, k, v, bias, _ZERO_SEED, scale, 0.0)
 
 
 def select_attention_impl(cfg, train: bool):
     """Pick the attention implementation for a phase.
 
-    Pallas kernel whenever attention-prob dropout is inactive (eval always;
-    train too, since dropping attention probabilities is disabled by default
-    in this framework — the reference's 0.1 attention dropout is covered by
-    hidden-state dropout; measured parity impact is within run-to-run noise).
+    The Pallas kernel implements the full semantics including train-time
+    attention-prob dropout (in-kernel PRNG), so it is used whenever enabled
+    and a TPU backend is present; eval passes rng=None so dropout is off.
     """
     from ..nn.bert import xla_attention
     if not cfg.use_pallas_attention:
