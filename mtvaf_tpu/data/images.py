@@ -27,17 +27,27 @@ CROP = 224
 RESIZE = 256
 
 
-def _load_rgb(path: str) -> np.ndarray:
+def _resize_dims(h: int, w: int) -> tuple:
+    """Short-side-RESIZE target dims, rounded like the native path (lround)."""
+    import math
+    if w < h:
+        return max(1, int(math.floor(h * RESIZE / w + 0.5))), RESIZE
+    return RESIZE, max(1, int(math.floor(w * RESIZE / h + 0.5)))
+
+
+def _decode_rgb(path: str) -> np.ndarray:
+    """Decode to uint8 HWC RGB at the original size (no resize)."""
     from PIL import Image
     with Image.open(path) as im:
-        im = im.convert("RGB")
-        w, h = im.size
-        if w < h:
-            nw, nh = RESIZE, max(1, round(h * RESIZE / w))
-        else:
-            nh, nw = RESIZE, max(1, round(w * RESIZE / h))
-        im = im.resize((nw, nh), Image.BILINEAR)
-        return np.asarray(im, np.uint8)
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+def _load_rgb(path: str) -> np.ndarray:
+    from PIL import Image
+    img = _decode_rgb(path)
+    nh, nw = _resize_dims(img.shape[0], img.shape[1])
+    im = Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
+    return np.asarray(im, np.uint8)
 
 
 def _crop(img: np.ndarray, train: bool, rng: Optional[np.random.RandomState]):
@@ -62,11 +72,40 @@ def _normalize(img: np.ndarray) -> np.ndarray:
 
 
 def process_image(path: str, *, train: bool = False,
-                  rng: Optional[np.random.RandomState] = None) -> np.ndarray:
-    """path → (224, 224, 3) float32 normalized array."""
-    img = _load_rgb(path)
-    img = _crop(img, train, rng)
-    if train and rng is not None and rng.rand() < 0.5:
+                  rng: Optional[np.random.RandomState] = None,
+                  use_native: bool = True) -> np.ndarray:
+    """path → (224, 224, 3) float32 normalized array.
+
+    The resize+crop+normalize hot loop runs in the native library
+    (native/image_ops.cc) when built, decoding stays in PIL; falls back to
+    the pure-Python path otherwise.  Random draws (crop top/left, hflip) are
+    made host-side in the same order for both paths, so a seeded run is
+    backend-independent up to the bilinear kernel's rounding."""
+    raw = _decode_rgb(path)
+    nh, nw = _resize_dims(raw.shape[0], raw.shape[1])
+    if train and rng is not None:
+        top = rng.randint(0, max(nh - CROP, 0) + 1)
+        left = rng.randint(0, max(nw - CROP, 0) + 1)
+        flip = bool(rng.rand() < 0.5)
+    else:
+        top, left, flip = -1, -1, False
+    if use_native:
+        from ..native.binding import native_preprocess
+        out = native_preprocess(raw, crop=CROP, resize_short=RESIZE,
+                                top=top, left=left, hflip=flip)
+        if out is not None:
+            return out
+    from PIL import Image
+    img = np.asarray(Image.fromarray(raw).resize((nw, nh), Image.BILINEAR),
+                     np.uint8)
+    if top < 0:
+        img = _crop(img, False, None)
+    else:
+        pad = np.zeros((CROP, CROP, 3), np.uint8)
+        window = img[top:top + CROP, left:left + CROP]
+        pad[:window.shape[0], :window.shape[1]] = window
+        img = pad
+    if flip:
         img = img[:, ::-1]
     return _normalize(np.ascontiguousarray(img))
 

@@ -82,3 +82,32 @@ class TestNativeImageOps:
         a = native_preprocess(raw, hflip=False)
         b = native_preprocess(raw, hflip=True)
         np.testing.assert_allclose(a, b[:, ::-1], atol=1e-6)
+
+    def test_process_image_uses_native_path(self, tmp_path):
+        """Production wiring: process_image routes through the native op
+        (use_native=True default) and stays close to the pure-Python path,
+        in both eval (center crop) and train (seeded random crop+flip)
+        modes; the random draws are made host-side in the same order so a
+        seeded run is backend-independent."""
+        from PIL import Image
+        from mtvaf_tpu.data.images import process_image
+        yy, xx = np.mgrid[0:300, 0:400]
+        raw = np.stack([(yy * 255 / 300), (xx * 255 / 400),
+                        ((yy + xx) * 255 / 700)], axis=-1).astype(np.uint8)
+        path = str(tmp_path / "img.png")
+        Image.fromarray(raw).save(path)
+
+        nat = process_image(path)
+        ref = process_image(path, use_native=False)
+        assert nat.shape == ref.shape == (224, 224, 3)
+        assert np.median(np.abs(nat - ref)) < 0.05
+
+        nat_t = process_image(path, train=True,
+                              rng=np.random.RandomState(7))
+        ref_t = process_image(path, train=True,
+                              rng=np.random.RandomState(7), use_native=False)
+        assert np.median(np.abs(nat_t - ref_t)) < 0.05
+        # a different seed draws a different crop
+        other = process_image(path, train=True,
+                              rng=np.random.RandomState(8))
+        assert not np.allclose(nat_t, other)
