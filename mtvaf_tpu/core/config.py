@@ -222,6 +222,12 @@ class Config:
         return sum(RESNET_STAGE_CHANNELS[self.resnet_depth])
 
     @property
+    def type_num(self) -> int:
+        """Dependency-type inventory for the DiGCN dep_embedding
+        (reference models/utils.py:836: 100 if direct else 50)."""
+        return 100 if self.direct else 50
+
+    @property
     def effective_max_seq(self) -> int:
         return self.max_seq_agn if self.use_align else self.max_seq
 

@@ -125,7 +125,19 @@ def load_gcn_arrays(gcn_file: str, features, max_seq: int) -> Dict[str, np.ndarr
     src = np.zeros((n, max_seq), np.int32)
     asp = np.zeros((n, max_seq), np.int32)
     pol = np.zeros((n,), np.int32)
+    valid = np.zeros((n, max_seq), np.int32)
     for i, feat in enumerate(features):
+        # valid_ids: first-subtoken flags for the DiGCN compression
+        # (reference models/bert_model.py:271-281; the reference's data
+        # pipeline never materializes this tensor — its gcn_layer_number>0
+        # batch unpack, modules/train.py:327, would crash — so the flags are
+        # derived here from token_to_orig_map, overridable per record).
+        prev = None
+        for tok_idx in sorted(feat.token_to_orig_map):
+            orig = feat.token_to_orig_map[tok_idx]
+            if orig != prev and tok_idx < max_seq:
+                valid[i, tok_idx] = 1
+            prev = orig
         rec = records[feat.example_index] if feat.example_index < len(records) \
             else None
         if rec is None:
@@ -139,8 +151,12 @@ def load_gcn_arrays(gcn_file: str, features, max_seq: int) -> Dict[str, np.ndarr
         m = np.asarray(rec.get("aspect_mask", []), np.int32)[:max_seq]
         asp[i, :len(m)] = m
         pol[i] = int(rec.get("polarity", 0))
+        v = np.asarray(rec.get("valid_ids", []), np.int32)[:max_seq]
+        if len(v):
+            valid[i, :] = 0
+            valid[i, :len(v)] = v
     return {"adj_matrix": adj, "src_mask": src, "aspect_mask": asp,
-            "polaritys": pol, "adjacency_matrix": adj}
+            "polaritys": pol, "adjacency_matrix": adj, "valid_ids": valid}
 
 
 def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int, *,

@@ -38,6 +38,21 @@ def init_digcn_params(rng, num_layers: int, hidden: int) -> Dict:
     return {"layers": layers}
 
 
+def compress_valid_ids(seq, valid_ids):
+    """Stable-compact rows flagged valid_ids==1 to the front, zero-fill the
+    rest — static-shape equivalent of the reference's per-example Python loop
+    (models/bert_model.py:271-281): ``valid_output[i][:n] = seq[i][valid==1]``.
+
+    seq (B, S, H); valid_ids (B, S) int {0,1} → (B, S, H).
+    """
+    invalid = (valid_ids == 0)
+    order = jnp.argsort(invalid, axis=1, stable=True)          # valid first
+    gathered = jnp.take_along_axis(seq, order[..., None], axis=1)
+    n_valid = jnp.sum(valid_ids != 0, axis=1, keepdims=True)
+    keep = jnp.arange(seq.shape[1])[None, :] < n_valid
+    return gathered * keep[..., None].astype(seq.dtype)
+
+
 def _digcn_att(h, adj, temper):
     """Masked row-normalized attention (reference models/bert_model.py:693-700)."""
     u = jnp.einsum("bsh,bth->bst", h.astype(jnp.float32),

@@ -145,7 +145,13 @@ def init_span_model_params(rng, cfg, bert_cfg: BertConfig,
         params["probe"] = init_probe_params(ks[6], h, cfg.probe_rank)
     if cfg.gcn_layer_number > 0:
         from .gcn import init_digcn_params
-        params["digcn"] = init_digcn_params(ks[7], cfg.gcn_layer_number, h)
+        k_gcn, k_dep = jax.random.split(ks[7])
+        params["digcn"] = init_digcn_params(k_gcn, cfg.gcn_layer_number, h)
+        # Dependency-type embedding (reference models/bert_model.py:235):
+        # constructed with padding_idx=0 but never consumed by the reference
+        # forward — kept so checkpoints/transplants line up.
+        emb = jax.random.normal(k_dep, (cfg.type_num, h)) * 0.02
+        params["dep_embedding"] = emb.at[0].set(0.0)
     if cfg.num_layers > 0:
         from .gcn import init_dualgcn_params
         params["dualgcn"] = init_dualgcn_params(
@@ -234,9 +240,14 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
         capture_layer=cfg.probe_layer if cfg.use_probe else None)
 
     # Optional DiGCN re-encoding of the sequence before classification
-    # (reference models/bert_model.py:270-281).
+    # (reference models/bert_model.py:270-284): first-subtoken rows are
+    # compacted to the front when valid_ids is supplied, dropout applies to
+    # the compacted sequence, then the directional GCN re-encodes it.
     if cfg.gcn_layer_number > 0 and "adjacency_matrix" in batch:
-        from .gcn import digcn_forward
+        from .gcn import compress_valid_ids, digcn_forward
+        if "valid_ids" in batch:
+            seq = compress_valid_ids(seq, batch["valid_ids"])
+        seq = dropout(seq, 0.1, rngs[2])
         seq = digcn_forward(params["digcn"], seq, batch["adjacency_matrix"])
 
     ac_logits = span_classification(params, cfg, seq, batch["span_starts"],

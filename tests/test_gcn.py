@@ -70,3 +70,44 @@ def test_span_model_with_digcn():
     batch["adjacency_matrix"] = jnp.ones((b, s, s))
     out = span_model_loss(params, cfg, bert_cfg, batch)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_compress_valid_ids_matches_reference_loop():
+    """Static-shape compaction vs the reference's per-example Python loop
+    (models/bert_model.py:271-281)."""
+    from mtvaf_tpu.nn.gcn import compress_valid_ids
+    rs = np.random.RandomState(0)
+    b, s, h = 3, 10, 8
+    seq = rs.randn(b, s, h).astype(np.float32)
+    valid = (rs.rand(b, s) < 0.6).astype(np.int32)
+    got = np.asarray(compress_valid_ids(jnp.asarray(seq), jnp.asarray(valid)))
+    ref = np.zeros_like(seq)
+    for i in range(b):
+        rows = seq[i][valid[i] == 1]
+        ref[i, :rows.shape[0]] = rows
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_span_model_digcn_valid_ids_and_dep_embedding():
+    """valid_ids triggers the compression before the DiGCN (reference
+    models/bert_model.py:271-284) and dep_embedding exists with a zero
+    padding row (constructed but unused in the reference forward, :235)."""
+    from mtvaf_tpu.nn.models import init_span_model_params, span_model_loss
+    from tests.test_models import make_span_batch
+
+    cfg = Config(dataset_name="twitter15", gcn_layer_number=1,
+                 max_answer_length=4)
+    bert_cfg = BertConfig.tiny()
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    assert params["dep_embedding"].shape == (cfg.type_num,
+                                             bert_cfg.hidden_size)
+    np.testing.assert_allclose(np.asarray(params["dep_embedding"][0]), 0.0)
+    batch = make_span_batch(bert_cfg)
+    b, s = batch["input_ids"].shape
+    batch["adjacency_matrix"] = jnp.ones((b, s, s))
+    base = span_model_loss(params, cfg, bert_cfg, batch)
+    batch["valid_ids"] = jnp.ones((b, s), jnp.int32).at[:, 1::2].set(0)
+    out = span_model_loss(params, cfg, bert_cfg, batch)
+    assert np.isfinite(float(out["loss"]))
+    # compression changes the GCN input, hence the loss
+    assert float(out["loss"]) != pytest.approx(float(base["loss"]))
