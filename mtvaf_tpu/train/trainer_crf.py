@@ -170,6 +170,11 @@ class CrfTrainer:
                 self._shard_state()
                 self.best_dev_metric = meta.get("best_dev_metric", 0.0)
                 self.best_test_metric = meta.get("best_test_metric", 0.0)
+                if "rng" in meta:
+                    # exact resume: restore the dropout RNG stream so a
+                    # resumed run is bit-identical to an uninterrupted one
+                    # (data order is already a pure function of seed+epoch).
+                    self.rng = jnp.asarray(meta["rng"], jnp.uint32)
                 logger.info("resumed from epoch %d", start_epoch - 1)
         for epoch in range(start_epoch, cfg.num_epochs + 1):
             # Device results are collected and fetched once per epoch — a
@@ -242,7 +247,8 @@ class CrfTrainer:
                 save_epoch_checkpoint(
                     cfg.save_path, self.state, epoch,
                     {"best_dev_metric": self.best_dev_metric,
-                     "best_test_metric": self.best_test_metric})
+                     "best_test_metric": self.best_test_metric,
+                     "rng": np.asarray(self.rng).tolist()})
         return self.best_dev_metric
 
     # ------------------------------------------------------------------

@@ -251,6 +251,11 @@ class SpanTrainer:
                 self.state = state
                 self._shard_state()
                 self.best_dev_metric = meta.get("best_dev_metric", 0.0)
+                if "rng" in meta:
+                    # exact resume: restore the dropout/augment RNG stream so
+                    # a resumed run is bit-identical to an uninterrupted one
+                    # (data order is already a pure function of seed+epoch).
+                    self.rng = jnp.asarray(meta["rng"], jnp.uint32)
                 logger.info("resumed from epoch %d", start_epoch - 1)
         for epoch in range(start_epoch, cfg.num_epochs + 1):
             # Device scalars/arrays are collected and fetched once per epoch:
@@ -320,7 +325,8 @@ class SpanTrainer:
             if cfg.save_checkpoints and cfg.save_path:
                 save_epoch_checkpoint(
                     cfg.save_path, self.state, epoch,
-                    {"best_dev_metric": self.best_dev_metric})
+                    {"best_dev_metric": self.best_dev_metric,
+                     "rng": np.asarray(self.rng).tolist()})
         return self.best_dev_metric
 
     # ------------------------------------------------------------------

@@ -58,3 +58,35 @@ def test_resume_noop_without_checkpoints(tmp_path):
     t = build(tmp_path, num_epochs=1, resume=True)
     t.train()  # no checkpoint present → starts from epoch 1
     assert int(t.state.step) == 2
+
+
+def test_exact_resume_bit_identical(tmp_path):
+    """A resumed run must be bit-identical to an uninterrupted one: the
+    trainer RNG is checkpointed alongside the state and the epoch data order
+    is a pure function of (seed, epoch)."""
+    import shutil
+    # Uninterrupted: 3 epochs in one go.
+    d1 = tmp_path / "straight"
+    d1.mkdir()
+    t_straight = build(d1, num_epochs=3)
+    t_straight.train()
+
+    # Interrupted: same 3-epoch config (same LR schedule), stopped after
+    # epoch 1, then resumed for epochs 2-3 in a new trainer.
+    d2 = tmp_path / "resumed"
+    d2.mkdir()
+    t_a = build(d2, num_epochs=3)
+    t_a.cfg = t_a.cfg.replace(num_epochs=1)   # stop after epoch 1
+    t_a.train()
+    t_b = build(d2, num_epochs=3, resume=True)
+    t_b.train()
+
+    assert int(t_b.state.step) == int(t_straight.state.step) == 6
+    for x, y in zip(jax.tree.leaves(t_straight.state.params),
+                    jax.tree.leaves(t_b.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(t_straight.state.opt_state),
+                    jax.tree.leaves(t_b.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(t_straight.rng),
+                                  np.asarray(t_b.rng))
