@@ -121,9 +121,3 @@ def build_optimizer(params: Dict, cfg, *, total_steps: int,
 
     opt = optax.chain(adamw(sched), scale_by_group())
     return opt, sched
-
-
-def clip_by_global_norm(opt, max_norm: Optional[float]):
-    if not max_norm:
-        return opt
-    return optax.chain(optax.clip_by_global_norm(max_norm), opt)

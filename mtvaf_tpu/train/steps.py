@@ -141,13 +141,6 @@ def make_train_step(loss_fn: Callable, optimizer, *,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(loss_fn: Callable) -> Callable:
-    def eval_step(params, batch):
-        loss, metrics = loss_fn(params, batch, None)
-        return metrics
-    return jax.jit(eval_step)
-
-
 # ---------------------------------------------------------------------------
 # Pipeline-A eval stages (device → host → device seam).
 
