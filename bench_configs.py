@@ -1,0 +1,216 @@
+"""Per-config throughput bench: the 5 BASELINE.json configs on the real chip.
+
+Measures steady-state train-step examples/sec/chip for each config (synthetic
+batches at reference scale) plus the pipeline-A eval loop including the host
+candidate/NMS seam.  Prints one JSON line per row and writes
+BENCH_CONFIGS.json.  `python bench.py` stays the driver's single-line
+flagship bench; this script fills BASELINE.md's per-config table
+(round-1 verdict item #7).
+
+Run on TPU: `python bench_configs.py` (remote compiles can take 10-20 min
+per new program shape on a cache miss).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+WARMUP = 3
+MEASURE = 10
+BATCH = 32
+EVAL_BATCH = 16
+
+
+def _span_batch(cfg, bert_cfg, b, s, rng_seed=0):
+    import jax.numpy as jnp
+    rng = np.random.RandomState(rng_seed)
+    m = cfg.n_best_size
+    starts = np.zeros((b, s), np.int32)
+    ends = np.zeros((b, s), np.int32)
+    for i in range(b):
+        for _ in range(2):
+            j = rng.randint(0, s - 4)
+            starts[i, j] = 1
+            ends[i, j + rng.randint(0, 3)] = 1
+    span_starts = rng.randint(0, s - cfg.max_answer_length, (b, m))
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.randint(0, bert_cfg.vocab_size, (b, s)), jnp.int32),
+        "input_mask": jnp.ones((b, s), jnp.int32),
+        "segment_ids": jnp.zeros((b, s), jnp.int32),
+        "start_positions": jnp.asarray(starts),
+        "end_positions": jnp.asarray(ends),
+        "span_starts": jnp.asarray(span_starts, jnp.int32),
+        "span_ends": jnp.asarray(
+            span_starts + rng.randint(0, cfg.max_answer_length - 1, (b, m)),
+            jnp.int32),
+        "span_labels": jnp.asarray(rng.randint(0, 4, (b, m)), jnp.int32),
+        "span_masks": jnp.asarray(rng.rand(b, m) < 0.3, jnp.int32),
+    }
+    if cfg.use_prefix:
+        c = cfg.resnet_concat_channels
+        batch["main_guides"] = jnp.asarray(rng.randn(b, 4, c), jnp.float32)
+        batch["aux_guides"] = jnp.asarray(rng.randn(b, 3, 4, c), jnp.float32)
+    return batch
+
+
+def _time_train(cfg, bert_cfg, batch, pipeline):
+    import jax
+
+    from mtvaf_tpu.kernels.prefix_attention import select_attention_impl
+    from mtvaf_tpu.nn.models import (init_crf_model_params,
+                                     init_span_model_params)
+    from mtvaf_tpu.train.optim import build_optimizer
+    from mtvaf_tpu.train.steps import (create_train_state, make_crf_loss_fn,
+                                       make_span_loss_fn, make_train_step)
+
+    rng = jax.random.PRNGKey(0)
+    if pipeline == "span":
+        params = init_span_model_params(rng, cfg, bert_cfg)
+        loss_fn = make_span_loss_fn(cfg, bert_cfg,
+                                    select_attention_impl(cfg, True))
+    else:
+        params = init_crf_model_params(rng, cfg, bert_cfg)
+        loss_fn = make_crf_loss_fn(cfg, bert_cfg,
+                                   select_attention_impl(cfg, True))
+    optimizer, _ = build_optimizer(params, cfg, total_steps=1000,
+                                   pipeline=pipeline)
+    step = make_train_step(loss_fn, optimizer)
+    state = create_train_state(params, optimizer)
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(WARMUP):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    float(metrics["loss"])   # host fetch forces completion (axon tunnel)
+
+    b = batch["input_ids"].shape[0]
+    t0 = time.perf_counter()
+    for _ in range(MEASURE):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return MEASURE * b / dt
+
+
+def _time_span_eval(cfg, bert_cfg, n_examples=256):
+    """Pipeline-A eval loop incl. the host candidate/NMS seam, through the
+    production SpanTrainer._predict."""
+    import os
+    import tempfile
+
+    import jax
+
+    from mtvaf_tpu.data.datasets import SpanDataset
+    from mtvaf_tpu.data.synthetic import make_span_file, make_vocab_file
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+    from mtvaf_tpu.kernels.prefix_attention import select_attention_impl
+    from mtvaf_tpu.nn.models import init_span_model_params
+    from mtvaf_tpu.train.trainer_span import SpanTrainer
+
+    with tempfile.TemporaryDirectory() as d:
+        make_vocab_file(os.path.join(d, "vocab.txt"))
+        make_span_file(os.path.join(d, "eval.txt"), n_examples, seed=0)
+        import dataclasses
+        tok = FullTokenizer(os.path.join(d, "vocab.txt"))
+        # reference eval knobs; synthetic vocab → random-init embeddings only
+        bc = dataclasses.replace(bert_cfg, vocab_size=max(len(tok.vocab), 128))
+        ds = SpanDataset.load(cfg, tok, os.path.join(d, "eval.txt"),
+                              mode="dev")
+        params = init_span_model_params(jax.random.PRNGKey(0), cfg, bc)
+        trainer = SpanTrainer(
+            cfg, bc, params, dev_dataset=ds,
+            attention_impl=select_attention_impl(cfg, False))
+        trainer._predict(ds)          # warmup (compile both stages)
+        t0 = time.perf_counter()
+        results = trainer._predict(ds)
+        dt = time.perf_counter() - t0
+        assert len(results) == len(ds)
+        return len(ds) / dt
+
+
+def main():
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.core.platform import configure_tpu_defaults
+    from mtvaf_tpu.nn.bert import BertConfig
+    configure_tpu_defaults()
+
+    rows = []
+
+    def record(name, desc, value, unit="examples/s"):
+        row = {"config": name, "desc": desc, "value": round(value, 2),
+               "unit": unit}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # 1. BERT-base text-only span ABSA (twitter15), b32 s128.
+    cfg = Config(dataset_name="twitter15")
+    bc = BertConfig.base()
+    record("c1_text_span",
+           "BERT-base text-only span ABSA, b32 s128",
+           _time_train(cfg, bc, _span_batch(cfg, bc, BATCH, 128), "span"))
+
+    # 1b. The span EVAL loop (extraction -> host top-k/NMS -> classification).
+    cfg_eval = Config(dataset_name="twitter15", eval_batch_size=EVAL_BATCH)
+    record("c1_span_eval_loop",
+           "span eval loop incl. host candidate/NMS seam, b16 s128",
+           _time_span_eval(cfg_eval, bc))
+
+    # 2. + auxiliary image-to-text channel (use_align -> max_seq_agn 500).
+    cfg = Config(dataset_name="twitter15", use_align=True)
+    record("c2_align_span",
+           "BERT-base + merged visual-context text, b32 s500",
+           _time_train(cfg, bc, _span_batch(cfg, bc, BATCH, 500), "span"))
+
+    # 3. + visual-feature branch (prefix KV fusion), CRF pipeline.
+    cfg = Config(dataset_name="twitter2017", use_prefix=True, use_152=True)
+    record("c3_prefix_crf",
+           "BERT-base + 16-slot visual prefix, CRF tagging, b32 s128",
+           _time_train(cfg, bc, _crf_batch(cfg, bc, BATCH, 128), "crf"))
+
+    # 4. RoBERTa-base backbone with the visual prefix.
+    cfg = Config(dataset_name="twitter2015", bert_name="roberta-base",
+                 use_prefix=True, use_152=True)
+    bc_rob = BertConfig.base(is_roberta=True)
+    record("c4_roberta_prefix_crf",
+           "RoBERTa-base + visual prefix, CRF tagging, b32 s128",
+           _time_train(cfg, bc_rob, _crf_batch(cfg, bc_rob, BATCH, 128),
+                       "crf"))
+
+    # 5. Full MTVAF flagship (prefix + VAO ANP + probe) — bench.py's config.
+    cfg = Config(dataset_name="twitter2015", use_prefix=True, use_152=True,
+                 vao=True, use_probe=True)
+    record("c5_full_flagship",
+           "full MTVAF: prefix + ANP (vao) + probe, CRF, b32 s128",
+           _time_train(cfg, bc, _crf_batch(cfg, bc, BATCH, 128), "crf"))
+
+    with open("BENCH_CONFIGS.json", "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+def _crf_batch(cfg, bert_cfg, b, s, rng_seed=0):
+    import jax.numpy as jnp
+    rng = np.random.RandomState(rng_seed)
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.randint(0, bert_cfg.vocab_size, (b, s)), jnp.int32),
+        "input_mask": jnp.ones((b, s), jnp.int32),
+        "segment_ids": jnp.zeros((b, s), jnp.int32),
+        "label_ids": jnp.asarray(
+            rng.randint(1, cfg.num_crf_labels, (b, s)), jnp.int32),
+        "imagelabel": jnp.asarray(
+            rng.dirichlet(np.ones(cfg.num_anp_classes), size=b), jnp.float32),
+    }
+    if cfg.use_prefix:
+        c = cfg.resnet_concat_channels
+        batch["main_guides"] = jnp.asarray(rng.randn(b, 4, c), jnp.float32)
+        batch["aux_guides"] = jnp.asarray(rng.randn(b, 3, 4, c), jnp.float32)
+    return batch
+
+
+if __name__ == "__main__":
+    main()

@@ -53,12 +53,16 @@ def get_span_representation(seq_output, span_starts, span_ends, *,
 
     seq_output (B, S, H); span_starts/ends (B, M) → (B, M, W, H), (B, M, W).
     """
-    s_len = seq_output.shape[1]
+    b, s_len, h = seq_output.shape
+    m = span_starts.shape[1]
     width = jnp.arange(max_span_width)[None, None, :]           # (1,1,W)
     idx = jnp.minimum(span_starts[:, :, None] + width, s_len - 1)
-    span_emb = jnp.take_along_axis(
-        seq_output[:, None, :, :],
-        idx[..., None].repeat(seq_output.shape[-1], -1), axis=2)
+    # Gather with a (B, M·W, 1) broadcast index — NOT an expanded
+    # (B, M, W, H) index tensor, which would materialize B·M·W·H int32s
+    # (~226 MB at bench scale) and dominate the span step.
+    flat = idx.reshape(b, m * max_span_width)
+    span_emb = jnp.take_along_axis(seq_output, flat[..., None], axis=1)
+    span_emb = span_emb.reshape(b, m, max_span_width, h)
     span_width = span_ends - span_starts + 1                    # (B, M)
     span_mask = width < span_width[:, :, None]
     return span_emb, span_mask

@@ -264,16 +264,21 @@ class SpanTrainer:
             step_records = []
             loss_devs = []
             from ..data.datasets import prefetch
-            batches = prefetch(
-                (self._attach_guides(b, ds) for b in iterate_batches(
-                    ds.arrays, cfg.train_batch_size, shuffle=True,
-                    seed=cfg.seed, epoch=epoch,
-                    process_index=self.process_index,
-                    process_count=self.process_count)))
-            for batch in batches:
-                valid = batch.pop("batch_valid")
-                dev_batch = self._device_batch(
-                    batch, cfg.gradient_accumulation_steps, mesh=self.mesh)
+            def host_to_device():
+                # guide-cache fills AND the host→device transfer run in the
+                # prefetch thread, overlapping the previous step's compute.
+                for b in iterate_batches(
+                        ds.arrays, cfg.train_batch_size, shuffle=True,
+                        seed=cfg.seed, epoch=epoch,
+                        process_index=self.process_index,
+                        process_count=self.process_count):
+                    b = self._attach_guides(b, ds)
+                    valid = b.pop("batch_valid")
+                    dev = self._device_batch(
+                        b, cfg.gradient_accumulation_steps, mesh=self.mesh)
+                    yield b, valid, dev
+
+            for batch, valid, dev_batch in prefetch(host_to_device()):
                 self.rng, step_rng = jax.random.split(self.rng)
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,
