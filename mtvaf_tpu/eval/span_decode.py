@@ -30,12 +30,26 @@ RawFinalResult = collections.namedtuple(
     "RawFinalResult",
     ["unique_id", "start_indexes", "end_indexes", "cls_pred", "span_masks"])
 
+_BASIC_TOKENIZERS: Dict[bool, BasicTokenizer] = {}
+
+
+def _basic_tokenizer(do_lower_case: bool) -> BasicTokenizer:
+    """BasicTokenizer is stateless per ``do_lower_case`` — share one instance
+    across the (hot) eval decode loop instead of constructing per span."""
+    tok = _BASIC_TOKENIZERS.get(do_lower_case)
+    if tok is None:
+        tok = _BASIC_TOKENIZERS[do_lower_case] = BasicTokenizer(
+            do_lower_case=do_lower_case)
+    return tok
+
 
 def get_best_indexes(logits: Sequence[float], n_best_size: int) -> List[int]:
     """Indexes of the n-best logits in descending order
-    (reference squad/squad_utils.py:601)."""
-    order = sorted(range(len(logits)), key=lambda i: logits[i], reverse=True)
-    return order[:n_best_size]
+    (reference squad/squad_utils.py:601).  Stable argsort keeps the
+    reference's tie order (ascending index among equal logits)."""
+    import numpy as np
+    order = np.argsort(-np.asarray(logits), kind="stable")
+    return [int(i) for i in order[:n_best_size]]
 
 
 def get_final_text(pred_text: str, orig_text: str, do_lower_case: bool) -> str:
@@ -56,7 +70,7 @@ def get_final_text(pred_text: str, orig_text: str, do_lower_case: bool) -> str:
             ns_chars.append(ch)
         return "".join(ns_chars), ns_to_s
 
-    tokenizer = BasicTokenizer(do_lower_case=do_lower_case)
+    tokenizer = _basic_tokenizer(do_lower_case)
     tok_text = " ".join(tokenizer.tokenize(orig_text))
 
     start_position = tok_text.find(pred_text)
@@ -174,6 +188,19 @@ def eval_span_candidates(example, feature, start_logits: Sequence[float],
     else:
         prelim.sort(key=lambda x: x.start_logit + x.end_logit, reverse=True)
 
+    # NMS revisits each surviving span every acceptance round; memoize the
+    # (start, end) → detokenized-text map so each span detokenizes once.
+    span_text_cache: Dict[Tuple[int, int], str] = {}
+
+    def span_text(pred) -> str:
+        key = (pred.start_index, pred.end_index)
+        text = span_text_cache.get(key)
+        if text is None:
+            text = span_text_cache[key] = detokenized_span_text(
+                example, feature, pred.start_index, pred.end_index,
+                do_lower_case)
+        return text
+
     seen = set()
     span_starts, span_ends, labels, label_masks = [], [], [], []
     i = 0
@@ -181,8 +208,7 @@ def eval_span_candidates(example, feature, start_logits: Sequence[float],
         if len(span_starts) >= n_best_size // 2:
             break
         pred_i = prelim[i]
-        final_text = detokenized_span_text(
-            example, feature, pred_i.start_index, pred_i.end_index, do_lower_case)
+        final_text = span_text(pred_i)
         if final_text in seen:
             i += 1
             continue
@@ -195,9 +221,7 @@ def eval_span_candidates(example, feature, start_logits: Sequence[float],
         if use_nms and i + 1 < len(prelim):
             survivors = []
             for pred_j in prelim[i + 1:]:
-                filter_text = detokenized_span_text(
-                    example, feature, pred_j.start_index, pred_j.end_index,
-                    do_lower_case)
+                filter_text = span_text(pred_j)
                 if filter_type == "em":
                     redundant = exact_match_score(final_text, filter_text)
                 elif filter_type == "f1":
@@ -220,7 +244,7 @@ def batch_eval_candidates(examples, features, example_indices, batch_start_logit
         feature = features[int(ex_idx)]
         example = examples[feature.example_index]
         res = eval_span_candidates(
-            example, feature, list(batch_start_logits[j]), list(batch_end_logits[j]),
+            example, feature, batch_start_logits[j], batch_end_logits[j],
             filter_type=cfg.filter_type, use_heuristics=cfg.use_heuristics,
             use_nms=cfg.use_nms, logit_threshold=cfg.logit_threshold,
             n_best_size=cfg.n_best_size, max_answer_length=cfg.max_answer_length,

@@ -231,12 +231,31 @@ def prefix_flash_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     return _attention(q, k, v, bias, _ZERO_SEED, scale, 0.0)
 
 
+# Below this sequence length the plain XLA lowering is measured faster than
+# the Pallas kernel on v5e (s=128: ~822 vs ~787 ex/s flagship, BENCH_ABLATE);
+# at long sequence the flash kernel wins (s=512: 208 vs 194 ex/s) and avoids
+# materializing the (S, T) probs in HBM for the backward (~5 GB at s=512 b32).
+_PALLAS_MIN_SEQ = 256
+
+
+def adaptive_attention(q, k, v, bias, *, dropout_rate: float = 0.0, rng=None):
+    """Shape-adaptive ``attention_impl``: XLA for short sequences, the Pallas
+    flash kernel for long.  Shapes are static under jit, so the dispatch
+    resolves at trace time with zero runtime cost."""
+    from ..nn.bert import xla_attention
+    if q.shape[2] < _PALLAS_MIN_SEQ:
+        return xla_attention(q, k, v, bias, dropout_rate=dropout_rate,
+                             rng=rng)
+    return prefix_flash_attention(q, k, v, bias, dropout_rate=dropout_rate,
+                                  rng=rng)
+
+
 def select_attention_impl(cfg, train: bool):
     """Pick the attention implementation for a phase.
 
-    The Pallas kernel implements the full semantics including train-time
-    attention-prob dropout (in-kernel PRNG), so it is used whenever enabled
-    and a TPU backend is present; eval passes rng=None so dropout is off.
+    Both implementations cover the full semantics including train-time
+    attention-prob dropout (the kernel via in-kernel PRNG); the choice is
+    purely a per-shape performance decision (see adaptive_attention).
     """
     from ..nn.bert import xla_attention
     if not cfg.use_pallas_attention:
@@ -244,4 +263,4 @@ def select_attention_impl(cfg, train: bool):
     import jax
     if jax.default_backend() not in ("tpu", "axon"):
         return xla_attention
-    return prefix_flash_attention
+    return adaptive_attention

@@ -276,10 +276,13 @@ class CrfTrainer:
         y_true, y_pred = [], []
         total_loss = 0.0
         for batch, valid, out in records:
-            total_loss += float(out["loss"])
+            # one device_get per record (loss + tags together) — per-array
+            # fetches each pay a full host round-trip on tunneled backends.
+            loss_np, tags_np = jax.device_get((out["loss"],
+                                               out["pred_tags"]))
+            total_loss += float(loss_np)
             yt, yp = labels_to_tags(batch["label_ids"], batch["input_mask"],
-                                    self.inv_label_map,
-                                    np.asarray(out["pred_tags"]))
+                                    self.inv_label_map, tags_np)
             for j in range(len(yt)):
                 if valid[j]:
                     y_true.append(yt[j])

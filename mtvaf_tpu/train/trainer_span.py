@@ -338,26 +338,37 @@ class SpanTrainer:
     def _predict(self, dataset, window: int = 4) -> list:
         """Eval loop: extraction → host candidates/NMS → classification.
 
-        The device→host seam is pipelined: extractions for the next batches
-        are dispatched (window deep) while the host runs NMS on the current
-        one, so the TPU never idles on the text work."""
+        The device→host seam is pipelined TWO stages deep: extractions for
+        the next batches are dispatched (window deep) while the host runs
+        NMS on the current one, and classification results are fetched a
+        window behind their dispatch — so neither the TPU nor the host ever
+        blocks on the other, and each batch pays one logits fetch (start/end
+        stacked into a single transfer; the tunnel is latency-bound) plus
+        one classification fetch, both overlapped with other batches' work.
+        """
         from collections import deque
 
         from ..data.datasets import iterate_batches
         cfg = self.cfg
         all_results = []
-        pending = deque()
+        pending_ext = deque()   # dispatched extractions
+        pending_cls = deque()   # dispatched classifications
         eval_params = self._eval_params()
 
-        def drain_one():
-            batch, valid, s_logits, e_logits, seq = pending.popleft()
-            s_np, e_np = np.asarray(s_logits), np.asarray(e_logits)
+        def harvest_one():
+            """Fetch one extraction, run host NMS, dispatch classification."""
+            batch, valid, se_logits, seq = pending_ext.popleft()
+            se_np = np.asarray(se_logits)             # one fetch: (2, B, S)
             ss, se, labels, masks = batch_eval_candidates(
                 dataset.examples, dataset.features, batch["example_index"],
-                s_np, e_np, cfg)
+                se_np[0], se_np[1], cfg)
             ac_logits = self.classification_step(
                 eval_params, seq, jnp.asarray(ss, jnp.int32),
                 jnp.asarray(se, jnp.int32))
+            pending_cls.append((batch, valid, ss, se, masks, ac_logits))
+
+        def finish_one():
+            batch, valid, ss, se, masks, ac_logits = pending_cls.popleft()
             ac_np = np.asarray(ac_logits)
             for j, ex_idx in enumerate(batch["example_index"]):
                 if not valid[j]:
@@ -375,11 +386,16 @@ class SpanTrainer:
             dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
             s_logits, e_logits, seq = self.extraction_step(
                 eval_params, dev_batch)
-            pending.append((batch, valid, s_logits, e_logits, seq))
-            if len(pending) > window:
-                drain_one()
-        while pending:
-            drain_one()
+            pending_ext.append(
+                (batch, valid, jnp.stack([s_logits, e_logits]), seq))
+            if len(pending_ext) > window:
+                harvest_one()
+            while len(pending_cls) > window:
+                finish_one()
+        while pending_ext:
+            harvest_one()
+        while pending_cls:
+            finish_one()
         return all_results
 
     def evaluate(self, epoch: int) -> float:
