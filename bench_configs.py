@@ -133,6 +133,41 @@ def _time_span_eval(cfg, bert_cfg, n_examples=256):
         return len(ds) / dt
 
 
+def _time_crf_serving(cfg, bert_cfg, n_batches: int = 12, batch: int = 16):
+    """Raw-text serving through the production CrfPredictor: tokenize →
+    jitted decode → host tag extraction, per fixed-size batch (one program)."""
+    import os
+    import tempfile
+
+    import jax
+
+    from mtvaf_tpu.data.synthetic import make_vocab_file
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+    from mtvaf_tpu.infer import CrfPredictor
+    from mtvaf_tpu.kernels.prefix_attention import select_attention_impl
+    from mtvaf_tpu.nn.models import init_crf_model_params
+
+    with tempfile.TemporaryDirectory() as d:
+        make_vocab_file(os.path.join(d, "vocab.txt"))
+        tok = FullTokenizer(os.path.join(d, "vocab.txt"))
+        import dataclasses
+        bc = dataclasses.replace(bert_cfg, vocab_size=max(len(tok.vocab), 128))
+        params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bc)
+        predictor = CrfPredictor(cfg, bc, params, tok,
+                                 attention_impl=select_attention_impl(
+                                     cfg, False))
+        rng = np.random.RandomState(0)
+        words = [w for w in tok.vocab if w.isalpha()][:200] or ["food"]
+        sents = [" ".join(rng.choice(words, size=12)) for _ in range(batch)]
+        predictor.predict(sents)                     # compile
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            results = predictor.predict(sents)
+        dt = time.perf_counter() - t0
+        assert len(results) == batch
+        return n_batches * batch / dt
+
+
 def main():
     from mtvaf_tpu.core.config import Config
     from mtvaf_tpu.core.platform import configure_tpu_defaults
@@ -187,6 +222,12 @@ def main():
     record("c5_full_flagship",
            "full MTVAF: prefix + ANP (vao) + probe, CRF, b32 s128",
            _time_train(cfg, bc, _crf_batch(cfg, bc, BATCH, 128), "crf"))
+
+    # 6. Raw-text serving (production inference API, text-only CRF model).
+    record("c6_crf_serving",
+           "CrfPredictor raw text -> (term, polarity), b16 s128",
+           _time_crf_serving(Config(dataset_name="twitter2015"), bc),
+           unit="sentences/s")
 
     with open("BENCH_CONFIGS.json", "w") as f:
         json.dump(rows, f, indent=2)

@@ -76,3 +76,23 @@ def test_partial_head_blocks_match_xla():
         ref = xla_attention(q, k, v, bias)
         got = prefix_flash_attention(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_adaptive_dispatch_by_seq_length(monkeypatch):
+    """adaptive_attention routes short sequences to XLA, long to the kernel
+    (trace-time static-shape dispatch; thresholds measured in BENCH_ABLATE)."""
+    from mtvaf_tpu.kernels import prefix_attention as pa
+
+    calls = []
+    monkeypatch.setattr(
+        pa, "prefix_flash_attention",
+        lambda q, k, v, bias, **kw: calls.append("pallas") or
+        xla_attention(q, k, v, bias))
+
+    q, k, v, bias = make_inputs(S=16, P=4)           # short -> XLA
+    out = pa.adaptive_attention(q, k, v, bias)
+    assert calls == [] and out.shape == q.shape
+
+    q, k, v, bias = make_inputs(S=pa._PALLAS_MIN_SEQ, P=4)   # long -> kernel
+    out = pa.adaptive_attention(q, k, v, bias)
+    assert calls == ["pallas"] and out.shape == q.shape
