@@ -341,61 +341,68 @@ class SpanTrainer:
         The device→host seam is pipelined TWO stages deep: extractions for
         the next batches are dispatched (window deep) while the host runs
         NMS on the current one, and classification results are fetched a
-        window behind their dispatch — so neither the TPU nor the host ever
-        blocks on the other, and each batch pays one logits fetch (start/end
-        stacked into a single transfer; the tunnel is latency-bound) plus
-        one classification fetch, both overlapped with other batches' work.
-        """
+        window behind their dispatch.  Device→host fetches run in a small
+        thread pool (futures consumed in dispatch order — results stay
+        deterministic): on latency-bound backends (the tunneled axon TPU
+        pays ~25 ms per RPC) the transfers overlap each other AND the host
+        NMS work, so the main thread only ever blocks on an already-arrived
+        array."""
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         from ..data.datasets import iterate_batches
         cfg = self.cfg
         all_results = []
-        pending_ext = deque()   # dispatched extractions
-        pending_cls = deque()   # dispatched classifications
+        pending_ext = deque()   # dispatched extractions (fetch futures)
+        pending_cls = deque()   # dispatched classifications (fetch futures)
         eval_params = self._eval_params()
 
-        def harvest_one():
-            """Fetch one extraction, run host NMS, dispatch classification."""
-            batch, valid, se_logits, seq = pending_ext.popleft()
-            se_np = np.asarray(se_logits)             # one fetch: (2, B, S)
-            ss, se, labels, masks = batch_eval_candidates(
-                dataset.examples, dataset.features, batch["example_index"],
-                se_np[0], se_np[1], cfg)
-            ac_logits = self.classification_step(
-                eval_params, seq, jnp.asarray(ss, jnp.int32),
-                jnp.asarray(se, jnp.int32))
-            pending_cls.append((batch, valid, ss, se, masks, ac_logits))
+        with ThreadPoolExecutor(max_workers=4) as fetcher:
 
-        def finish_one():
-            batch, valid, ss, se, masks, ac_logits = pending_cls.popleft()
-            ac_np = np.asarray(ac_logits)
-            for j, ex_idx in enumerate(batch["example_index"]):
-                if not valid[j]:
-                    continue
-                feature = dataset.features[int(ex_idx)]
-                all_results.append(RawFinalResult(
-                    unique_id=feature.unique_id, start_indexes=ss[j],
-                    end_indexes=se[j],
-                    cls_pred=list(ac_np[j].argmax(axis=-1)),
-                    span_masks=masks[j]))
+            def harvest_one():
+                """Take one extraction, run host NMS, dispatch classify."""
+                batch, valid, se_fut, seq = pending_ext.popleft()
+                se_np = se_fut.result()               # one fetch: (2, B, S)
+                ss, se, labels, masks = batch_eval_candidates(
+                    dataset.examples, dataset.features,
+                    batch["example_index"], se_np[0], se_np[1], cfg)
+                ac_logits = self.classification_step(
+                    eval_params, seq, jnp.asarray(ss, jnp.int32),
+                    jnp.asarray(se, jnp.int32))
+                pending_cls.append((batch, valid, ss, se, masks,
+                                    fetcher.submit(np.asarray, ac_logits)))
 
-        for batch in iterate_batches(dataset.arrays, cfg.eval_batch_size):
-            batch = self._attach_guides(batch, dataset)
-            valid = batch.pop("batch_valid")
-            dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
-            s_logits, e_logits, seq = self.extraction_step(
-                eval_params, dev_batch)
-            pending_ext.append(
-                (batch, valid, jnp.stack([s_logits, e_logits]), seq))
-            if len(pending_ext) > window:
+            def finish_one():
+                batch, valid, ss, se, masks, ac_fut = pending_cls.popleft()
+                ac_np = ac_fut.result()
+                for j, ex_idx in enumerate(batch["example_index"]):
+                    if not valid[j]:
+                        continue
+                    feature = dataset.features[int(ex_idx)]
+                    all_results.append(RawFinalResult(
+                        unique_id=feature.unique_id, start_indexes=ss[j],
+                        end_indexes=se[j],
+                        cls_pred=list(ac_np[j].argmax(axis=-1)),
+                        span_masks=masks[j]))
+
+            for batch in iterate_batches(dataset.arrays, cfg.eval_batch_size):
+                batch = self._attach_guides(batch, dataset)
+                valid = batch.pop("batch_valid")
+                dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
+                s_logits, e_logits, seq = self.extraction_step(
+                    eval_params, dev_batch)
+                pending_ext.append(
+                    (batch, valid,
+                     fetcher.submit(np.asarray,
+                                    jnp.stack([s_logits, e_logits])), seq))
+                if len(pending_ext) > window:
+                    harvest_one()
+                while len(pending_cls) > window:
+                    finish_one()
+            while pending_ext:
                 harvest_one()
-            while len(pending_cls) > window:
+            while pending_cls:
                 finish_one()
-        while pending_ext:
-            harvest_one()
-        while pending_cls:
-            finish_one()
         return all_results
 
     def evaluate(self, epoch: int) -> float:
