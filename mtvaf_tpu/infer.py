@@ -69,8 +69,8 @@ class CrfPredictor(_PredictorBase):
         self.inv_label_map = {i: l for l, i in self.label_map.items()}
         self.inv_label_map[0] = "PAD"
 
-    def predict(self, sentences: Sequence[str], images=None, aux_images=None,
-                ) -> List[List[Tuple[str, str]]]:
+    def _make_batch(self, sentences: Sequence[str], images, aux_images
+                    ) -> Dict:
         examples = [
             MMInputExample(guid=str(i), text_a=s, img_id="", label=["O"] *
                            len(s.split()), auxlabel=["O"] * len(s.split()),
@@ -90,12 +90,12 @@ class CrfPredictor(_PredictorBase):
             "imagelabel": jnp.zeros((len(feats), self.cfg.num_anp_classes),
                                     jnp.float32),
         }
-        batch = self._maybe_guides(batch, images, aux_images)
-        out = self._decode(self.params, batch)
-        _, y_pred = labels_to_tags(
-            np.asarray(batch["label_ids"]), np.asarray(batch["input_mask"]),
-            self.inv_label_map, np.asarray(out["pred_tags"]))
+        return self._maybe_guides(batch, images, aux_images)
 
+    def _to_results(self, sentences: Sequence[str], label_ids, input_mask,
+                    tags_np) -> List[List[Tuple[str, str]]]:
+        _, y_pred = labels_to_tags(label_ids, input_mask,
+                                   self.inv_label_map, tags_np)
         results = []
         for sent, tags in zip(sentences, y_pred):
             words = sent.split()
@@ -104,6 +104,54 @@ class CrfPredictor(_PredictorBase):
             results.append([
                 (" ".join(words[s:e + 1]), etype) for etype, s, e in spans
                 if s < len(words)])
+        return results
+
+    def predict(self, sentences: Sequence[str], images=None, aux_images=None,
+                ) -> List[List[Tuple[str, str]]]:
+        batch = self._make_batch(sentences, images, aux_images)
+        out = self._decode(self.params, batch)
+        return self._to_results(sentences, np.asarray(batch["label_ids"]),
+                                np.asarray(batch["input_mask"]),
+                                np.asarray(out["pred_tags"]))
+
+    def predict_many(self, sentences: Sequence[str], *, batch_size: int = 16,
+                     window: int = 4) -> List[List[Tuple[str, str]]]:
+        """High-throughput serving over a sentence stream.
+
+        Fixed-size batches (one jit program; the tail batch is padded by
+        repeating its last sentence and the padding rows are dropped),
+        dispatched ``window`` deep with result fetches overlapped in a
+        thread pool — on latency-bound backends the per-batch host
+        round-trips hide behind the next batches' compute (the same pattern
+        as the trainers' eval loops)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        results: List[List[Tuple[str, str]]] = []
+        pending = deque()
+
+        def finish_one():
+            sents, n, fut = pending.popleft()
+            mask_np, labels_np, tags_np = fut.result()
+            results.extend(self._to_results(
+                sents[:n], labels_np, mask_np, tags_np)[:n])
+
+        with ThreadPoolExecutor(max_workers=4) as fetcher:
+            for i in range(0, len(sentences), batch_size):
+                chunk = list(sentences[i:i + batch_size])
+                n = len(chunk)
+                chunk += [chunk[-1]] * (batch_size - n)     # pad tail batch
+                batch = self._make_batch(chunk, None, None)
+                out = self._decode(self.params, batch)
+                pending.append(
+                    (chunk, n, fetcher.submit(
+                        jax.device_get,
+                        (batch["input_mask"], batch["label_ids"],
+                         out["pred_tags"]))))
+                if len(pending) > window:
+                    finish_one()
+            while pending:
+                finish_one()
         return results
 
 

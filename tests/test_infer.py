@@ -67,3 +67,16 @@ def test_crf_predictor_with_images(tokenizer):
     out = pred.predict(["great pizza", "slow service here"], images=images,
                        aux_images=aux)
     assert len(out) == 2
+
+
+def test_crf_predict_many_matches_predict(tokenizer):
+    """predict_many (pipelined, padded tail batch) == per-batch predict."""
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    pred = CrfPredictor(cfg, bert_cfg, params, tokenizer)
+    sents = ["the pizza was great but service slow", "bad battery",
+             "nice view from the room", "food cold", "great phone"]
+    got = pred.predict_many(sents, batch_size=2, window=1)
+    want = [pred.predict([s])[0] for s in sents]
+    assert got == want
