@@ -164,8 +164,7 @@ class SpanPredictor(_PredictorBase):
                                              self.attention_impl)
         self._classify = make_classification_step(self.cfg, self.bert_cfg)
 
-    def predict(self, sentences: Sequence[str], images=None, aux_images=None
-                ) -> List[List[Tuple[str, str]]]:
+    def _make_batch(self, sentences: Sequence[str], images, aux_images):
         cfg = self.cfg
         examples = [
             SemEvalExample(example_id=str(i), sent_tokens=s.split(),
@@ -181,14 +180,14 @@ class SpanPredictor(_PredictorBase):
             "segment_ids": jnp.asarray([f.segment_ids for f in feats],
                                        jnp.int32),
         }
-        batch = self._maybe_guides(batch, images, aux_images)
-        s_logits, e_logits, seq = self._extract(self.params, batch)
-        s_np, e_np = np.asarray(s_logits), np.asarray(e_logits)
+        return examples, feats, self._maybe_guides(batch, images, aux_images)
 
+    def _candidates(self, examples, feats, s_np, e_np):
+        cfg = self.cfg
         all_ss, all_se, all_masks = [], [], []
         for j, feature in enumerate(feats):
             ss, se, _, masks = eval_span_candidates(
-                examples[j], feature, list(s_np[j]), list(e_np[j]),
+                examples[j], feature, s_np[j], e_np[j],
                 filter_type=cfg.filter_type, use_heuristics=cfg.use_heuristics,
                 use_nms=cfg.use_nms, logit_threshold=cfg.logit_threshold,
                 n_best_size=cfg.n_best_size,
@@ -197,13 +196,12 @@ class SpanPredictor(_PredictorBase):
             all_ss.append(ss)
             all_se.append(se)
             all_masks.append(masks)
+        return all_ss, all_se, all_masks
 
-        ac = np.asarray(self._classify(
-            self.params, seq, jnp.asarray(all_ss, jnp.int32),
-            jnp.asarray(all_se, jnp.int32)))
-        preds = ac.argmax(axis=-1)
-
+    def _to_results(self, examples, feats, all_ss, all_se, all_masks, preds
+                    ) -> List[List[Tuple[str, str]]]:
         from .eval.span_decode import detokenized_span_text
+        cfg = self.cfg
         results = []
         for j, feature in enumerate(feats):
             out = []
@@ -215,4 +213,72 @@ class SpanPredictor(_PredictorBase):
                     cfg.do_lower_case)
                 out.append((text, ID_TO_POLARITY[int(preds[j][k])]))
             results.append(out)
+        return results
+
+    def predict(self, sentences: Sequence[str], images=None, aux_images=None
+                ) -> List[List[Tuple[str, str]]]:
+        examples, feats, batch = self._make_batch(sentences, images,
+                                                  aux_images)
+        s_logits, e_logits, seq = self._extract(self.params, batch)
+        s_np, e_np = np.asarray(s_logits), np.asarray(e_logits)
+        all_ss, all_se, all_masks = self._candidates(examples, feats,
+                                                     s_np, e_np)
+        ac = np.asarray(self._classify(
+            self.params, seq, jnp.asarray(all_ss, jnp.int32),
+            jnp.asarray(all_se, jnp.int32)))
+        return self._to_results(examples, feats, all_ss, all_se, all_masks,
+                                ac.argmax(axis=-1))
+
+    def predict_many(self, sentences: Sequence[str], *, batch_size: int = 16,
+                     window: int = 4) -> List[List[Tuple[str, str]]]:
+        """High-throughput span serving: the extract → host-NMS → classify
+        seam pipelined two stages deep with pooled fetches (same pattern as
+        the span trainer's eval loop); fixed-size batches, padded tail."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        results: List[List[Tuple[str, str]]] = []
+        pending_ext = deque()
+        pending_cls = deque()
+
+        with ThreadPoolExecutor(max_workers=4) as fetcher:
+
+            def harvest_one():
+                n, examples, feats, se_fut, seq = pending_ext.popleft()
+                se_np = se_fut.result()
+                all_ss, all_se, all_masks = self._candidates(
+                    examples, feats, se_np[0], se_np[1])
+                ac = self._classify(
+                    self.params, seq, jnp.asarray(all_ss, jnp.int32),
+                    jnp.asarray(all_se, jnp.int32))
+                pending_cls.append((n, examples, feats, all_ss, all_se,
+                                    all_masks,
+                                    fetcher.submit(np.asarray, ac)))
+
+            def finish_one():
+                n, examples, feats, all_ss, all_se, all_masks, fut = \
+                    pending_cls.popleft()
+                ac_np = fut.result()
+                results.extend(self._to_results(
+                    examples, feats, all_ss, all_se, all_masks,
+                    ac_np.argmax(axis=-1))[:n])
+
+            for i in range(0, len(sentences), batch_size):
+                chunk = list(sentences[i:i + batch_size])
+                n = len(chunk)
+                chunk += [chunk[-1]] * (batch_size - n)
+                examples, feats, batch = self._make_batch(chunk, None, None)
+                s_logits, e_logits, seq = self._extract(self.params, batch)
+                pending_ext.append(
+                    (n, examples, feats,
+                     fetcher.submit(np.asarray,
+                                    jnp.stack([s_logits, e_logits])), seq))
+                if len(pending_ext) > window:
+                    harvest_one()
+                while len(pending_cls) > window:
+                    finish_one()
+            while pending_ext:
+                harvest_one()
+            while pending_cls:
+                finish_one()
         return results

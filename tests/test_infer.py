@@ -80,3 +80,16 @@ def test_crf_predict_many_matches_predict(tokenizer):
     got = pred.predict_many(sents, batch_size=2, window=1)
     want = [pred.predict([s])[0] for s in sents]
     assert got == want
+
+
+def test_span_predict_many_matches_predict(tokenizer):
+    cfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
+                 max_answer_length=4, logit_threshold=-100.0, bf16=False)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    pred = SpanPredictor(cfg, bert_cfg, params, tokenizer)
+    sents = ["great phone bad battery", "nice view", "food cold here",
+             "the pizza was great", "slow service"]
+    got = pred.predict_many(sents, batch_size=2, window=1)
+    want = [pred.predict([s])[0] for s in sents]
+    assert got == want
