@@ -96,3 +96,37 @@ def test_crf_pipeline_with_grad_accumulation(tmp_path, tokenizer):
                          dev_dataset=ds, test_dataset=ds)
     trainer.train()
     assert int(trainer.state.step) == 2  # 8 ex / batch 4 = 2 steps
+
+
+def test_span_accum_train_f1_from_predictions(tmp_path, tokenizer,
+                                              monkeypatch):
+    """With gradient accumulation the train metrics must come from the
+    model's ac_logits, not the gold-label fallback (round-1 verdict: the
+    accum step used to return only {'loss'}, silently inflating train-F1
+    to the 1.0 oracle)."""
+    from mtvaf_tpu.train import trainer_span as ts
+
+    train_f = tmp_path / "train.txt"
+    make_span_file(str(train_f), 8, seed=5)
+    cfg = Config(dataset_name="twitter15", max_seq=32, train_batch_size=4,
+                 eval_batch_size=4, num_epochs=1, eval_begin_epoch=99,
+                 n_best_size=8, max_answer_length=4, bf16=False,
+                 gradient_accumulation_steps=2, lr=1e-4)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = SpanDataset.load(cfg, tokenizer, str(train_f))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=ds)
+
+    captured = {}
+    real_eval_absa = ts.eval_absa
+
+    def spy(examples, features, results, do_lower_case):
+        out = real_eval_absa(examples, features, results, do_lower_case)
+        captured["metrics"] = out[0]
+        return out
+
+    monkeypatch.setattr(ts, "eval_absa", spy)
+    trainer.train()
+    # a random-init tiny model cannot reproduce the gold polarities; the
+    # gold fallback would report exactly p = r = f1 = 1.0.
+    assert captured["metrics"]["f1"] < 1.0
