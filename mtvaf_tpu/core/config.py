@@ -159,6 +159,8 @@ class Config:
     deterministic_eval_images: bool = True  # center crop at eval (survey §5)
     profile_dir: Optional[str] = None   # jax.profiler trace output directory
     profile_steps: int = 5              # trace window length (train steps)
+    log_grad_norm: bool = False         # global grad-norm metric → TensorBoard
+                                        # (full-tree fp32 reduce, ~0.8 ms/step)
     save_checkpoints: bool = False      # full train-state checkpoint per epoch
     resume: bool = False                # resume from latest checkpoint
     optimizer_mu_bf16: bool = True      # AdamW first moment in bf16 (halves

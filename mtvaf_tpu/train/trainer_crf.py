@@ -73,7 +73,8 @@ class CrfTrainer:
         loss_fn = make_crf_loss_fn(cfg, bert_cfg, attention_impl)
         self.train_step = make_train_step(
             loss_fn, self.optimizer,
-            accum_steps=cfg.gradient_accumulation_steps)
+            accum_steps=cfg.gradient_accumulation_steps,
+            with_grad_norm=cfg.log_grad_norm)
         self.decode_step = make_crf_decode_step(cfg, bert_cfg, attention_impl)
         self._emission_decode = jax.jit(
             lambda crf_params, emissions, mask: crf_decode(
@@ -205,7 +206,8 @@ class CrfTrainer:
                 self.state, metrics = self.train_step(self.state, dev_batch,
                                                       step_rng)
                 profiler.step_end()
-                loss_devs.append(metrics["loss"])
+                loss_devs.append((metrics["loss"],
+                                  metrics.get("grad_norm")))
                 n_examples += int(valid.sum())
 
                 if self.collect_train_metrics and "emissions" in metrics \
@@ -219,7 +221,12 @@ class CrfTrainer:
                     step_records.append((batch, valid, tags))
 
             n_steps = len(loss_devs)
-            epoch_loss = float(np.sum([np.asarray(l) for l in loss_devs]))
+            epoch_loss = float(np.sum([np.asarray(l) for l, _ in loss_devs]))
+            if cfg.log_grad_norm and self.writer and n_steps:
+                self.writer.add_scalar(
+                    "grad_norm",
+                    float(np.mean([np.asarray(g) for _, g in loss_devs])),
+                    epoch)
             for batch, valid, tags in step_records:
                 yt, yp = labels_to_tags(
                     batch["label_ids"], batch["input_mask"],

@@ -151,7 +151,7 @@ class SpanTrainer:
         self.train_step = make_train_step(
             loss_fn, self.optimizer,
             accum_steps=cfg.gradient_accumulation_steps,
-            augment_fn=augment_fn)
+            augment_fn=augment_fn, with_grad_norm=cfg.log_grad_norm)
         self.extraction_step = make_extraction_step(cfg, bert_cfg,
                                                     attention_impl)
         self.classification_step = make_classification_step(cfg, bert_cfg)
@@ -284,7 +284,8 @@ class SpanTrainer:
                 self.state, metrics = self.train_step(self.state, dev_batch,
                                                       step_rng)
                 profiler.step_end()
-                loss_devs.append(metrics["loss"])
+                loss_devs.append((metrics["loss"],
+                                  metrics.get("grad_norm")))
                 n_examples += int(valid.sum())
                 if self.process_count == 1:
                     # multi-host: per-example logits span processes and are
@@ -293,7 +294,12 @@ class SpanTrainer:
                                          metrics.get("ac_logits")))
 
             n_steps = len(loss_devs)
-            epoch_loss = float(np.sum([np.asarray(l) for l in loss_devs]))
+            epoch_loss = float(np.sum([np.asarray(l) for l, _ in loss_devs]))
+            if cfg.log_grad_norm and self.writer and n_steps:
+                self.writer.add_scalar(
+                    "grad_norm",
+                    float(np.mean([np.asarray(g) for _, g in loss_devs])),
+                    epoch)
 
             # Train-metric collection (reference modules/train.py:122-130)
             all_results = []
