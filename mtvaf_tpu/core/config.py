@@ -156,6 +156,11 @@ class Config:
     guide_cache_size: int = 8192        # max images whose guides stay in host
                                         # RAM (LRU; ~245 KB/image); evicted
                                         # entries spill to a .npy disk cache
+    guide_cache_device_items: int = 8192  # device-RESIDENT bf16 guide table
+                                        # rows (~123 KB/image HBM); batches
+                                        # gather on device — no per-step
+                                        # guide upload. 0 disables. Engages
+                                        # on single-device bf16 runs only.
     deterministic_eval_images: bool = True  # center crop at eval (survey §5)
     profile_dir: Optional[str] = None   # jax.profiler trace output directory
     profile_steps: int = 5              # trace window length (train steps)

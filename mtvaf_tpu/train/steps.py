@@ -55,14 +55,23 @@ def make_span_loss_fn(cfg, bert_cfg: BertConfig, attention_impl=xla_attention):
     return loss_fn
 
 
-def make_crf_loss_fn(cfg, bert_cfg: BertConfig, attention_impl=xla_attention):
+def make_crf_loss_fn(cfg, bert_cfg: BertConfig, attention_impl=xla_attention,
+                     with_decode: bool = False):
+    """CRF loss (+aux).  ``with_decode`` adds the Viterbi path to the train
+    program's metrics — the reference decodes inside every train forward
+    (models/bert_model.py:511); fusing it here costs ~1 ms of device time
+    and saves a separate per-step decode dispatch (a full RPC on tunneled
+    backends)."""
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
     def loss_fn(params, batch, rng):
         out = crf_model_forward(params, cfg, bert_cfg, batch,
                                 visual_guides=_split_guides(batch), rng=rng,
-                                attention_impl=attention_impl, dtype=dtype)
+                                attention_impl=attention_impl, dtype=dtype,
+                                with_decode=with_decode)
         metrics = {"loss": out["loss"], "emissions": out["emissions"]}
+        if with_decode:
+            metrics["pred_tags"] = out["pred_tags"]
         if "probe_loss" in out:
             metrics["probe_loss"] = out["probe_loss"]
         if "img_tag_loss" in out:
@@ -112,6 +121,12 @@ def make_train_step(loss_fn: Callable, optimizer, *,
                           step=state.step + 1)
 
     def single_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        # Per-step key derived INSIDE the program from the optimizer step:
+        # callers pass one key per epoch (or per run) and never dispatch a
+        # host-side split per step — on tunneled backends each extra
+        # dispatch is a full RPC.
+        if rng is not None:
+            rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = grad_fn(state.params, batch, rng)
         new_state = apply(state, grads)
         metrics = dict(metrics)
@@ -121,6 +136,9 @@ def make_train_step(loss_fn: Callable, optimizer, *,
 
     def accum_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         """batch leaves have leading (accum_steps, micro_bsz, ...)."""
+        if rng is not None:
+            rng = jax.random.fold_in(rng, state.step)   # see single_step
+
         def micro(grads_acc, xs):
             micro_batch, micro_rng = xs
             (_, metrics), grads = grad_fn(state.params, micro_batch, micro_rng)

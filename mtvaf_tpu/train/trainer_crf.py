@@ -1,10 +1,10 @@
 """CRF-pipeline trainer (pipeline B; reference SATrainer2,
 modules/train.py:541-987), TPU-native:
 
-* one jitted forward/backward per step; the CRF NLL runs on device;
-* Viterbi decode for metrics runs as a tiny separate jitted program over the
-  emissions already produced by the step (the reference decodes inside every
-  forward, returning Python lists — models/bert_model.py:511);
+* one jitted forward/backward per step; the CRF NLL runs on device; when
+  train metrics are collected the Viterbi decode is FUSED into the same
+  program (the reference decodes inside every forward, returning Python
+  lists — models/bert_model.py:511) so each step is a single dispatch;
 * frozen-ResNet guides cached per image; the ANP (VAO) loss shares the
   encoded prefix activations with the KV construction.
 """
@@ -26,12 +26,11 @@ from ..core.config import CRF_LABEL_LIST, Config
 from ..eval.metrics import eval_json
 from ..eval.tagging import classification_report, labels_to_tags, tagging_scores
 from ..nn.bert import BertConfig, xla_attention
-from ..nn.crf import crf_decode
 from ..core.mesh import put_global_batch, trainer_meshes
 from .optim import build_optimizer
 from .steps import (create_train_state, make_crf_decode_step, make_crf_loss_fn,
                     make_train_step, shard_train_state)
-from .trainer_span import GuideCache
+from .trainer_span import GuideCache, pack_and_put
 
 logger = logging.getLogger(__name__)
 
@@ -70,31 +69,38 @@ class CrfTrainer:
             params, cfg, total_steps=total_steps, pipeline="crf")
         self.state = create_train_state(params, self.optimizer)
 
-        loss_fn = make_crf_loss_fn(cfg, bert_cfg, attention_impl)
+        # Viterbi decode fused into the train program when train metrics are
+        # collected — one dispatch per step instead of two (the reference
+        # decodes inside every train forward, models/bert_model.py:511).
+        loss_fn = make_crf_loss_fn(cfg, bert_cfg, attention_impl,
+                                   with_decode=collect_train_metrics)
         self.train_step = make_train_step(
             loss_fn, self.optimizer,
             accum_steps=cfg.gradient_accumulation_steps,
             with_grad_norm=cfg.log_grad_norm)
         self.decode_step = make_crf_decode_step(cfg, bert_cfg, attention_impl)
-        self._emission_decode = jax.jit(
-            lambda crf_params, emissions, mask: crf_decode(
-                crf_params, emissions, mask))
-
-        self.guide_cache = None
-        if cfg.use_prefix and resnet_params is not None and any(
-                d is not None and d.image_store for d in
-                (train_dataset, dev_dataset, test_dataset)):
-            self.guide_cache = GuideCache(
-                resnet_params, cfg.resnet_depth,
-                max_items=cfg.guide_cache_size,
-                cache_dir=os.path.join(cfg.cache_dir, "guides")
-                if cfg.cache_dir else None)
 
         # SPMD data(-×tensor)-parallel mesh over all devices (reference DDP
         # engagement point, MTVAF_training.py:301-311).  None = single device.
         self.mesh, self.eval_mesh = trainer_meshes(cfg)
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
+
+        self.guide_cache = None
+        if cfg.use_prefix and resnet_params is not None and any(
+                d is not None and d.image_store for d in
+                (train_dataset, dev_dataset, test_dataset)):
+            # Device-resident guide table on single-device bf16 runs (see
+            # trainer_span.GuideCache); host path otherwise.
+            dev_items = cfg.guide_cache_device_items \
+                if (self.mesh is None and cfg.bf16
+                    and self.process_count == 1) else 0
+            self.guide_cache = GuideCache(
+                resnet_params, cfg.resnet_depth,
+                max_items=cfg.guide_cache_size,
+                cache_dir=os.path.join(cfg.cache_dir, "guides")
+                if cfg.cache_dir else None,
+                device_items=dev_items)
         if self.mesh is not None:
             logger.info("SPMD mesh: %s over %d devices (%d processes)",
                         dict(zip(self.mesh.axis_names,
@@ -136,8 +142,11 @@ class CrfTrainer:
         return batch
 
     def _device_batch(self, batch: Dict, accum: int = 1, mesh=None) -> Dict:
-        drop = ("batch_valid", "auxlabel_ids")
-        out = {k: np.asarray(v) for k, v in batch.items() if k not in drop}
+        drop = ("batch_valid", "auxlabel_ids", "example_index")
+        # leaves that are ALREADY device arrays (device-gathered guides)
+        # pass through untouched — np.asarray would download them.
+        out = {k: v if isinstance(v, jax.Array) else np.asarray(v)
+               for k, v in batch.items() if k not in drop}
         if accum > 1:
             # micro-batch leading dim for the scan-accumulated step
             out = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
@@ -145,7 +154,7 @@ class CrfTrainer:
         if mesh is not None:
             return put_global_batch(out, mesh,
                                     batch_dim=1 if accum > 1 else 0)
-        return {k: jnp.asarray(v) for k, v in out.items()}
+        return pack_and_put(out)
 
     def load_pretrained(self, load_path: str):
         from ..core.checkpoint import load_torch_file
@@ -200,25 +209,24 @@ class CrfTrainer:
                         b, cfg.gradient_accumulation_steps, mesh=self.mesh)
                     yield b, valid, dev
 
+            # One key per epoch; the step folds in state.step internally
+            # (steps.single_step) so no per-step host dispatch is needed.
+            epoch_rng = jax.random.fold_in(self.rng, epoch)
             for batch, valid, dev_batch in prefetch(host_to_device()):
-                self.rng, step_rng = jax.random.split(self.rng)
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,
-                                                      step_rng)
+                                                      epoch_rng)
                 profiler.step_end()
                 loss_devs.append((metrics["loss"],
                                   metrics.get("grad_norm")))
                 n_examples += int(valid.sum())
 
-                if self.collect_train_metrics and "emissions" in metrics \
+                if self.collect_train_metrics and "pred_tags" in metrics \
                         and self.process_count == 1:
-                    # metrics arrays are full-batch order (accum micro-batches
-                    # re-concatenated in steps.accum_step) — use the host
-                    # batch's un-reshaped mask, not dev_batch's (accum, ...).
-                    tags, _ = self._emission_decode(
-                        self.state.params["crf"], metrics["emissions"],
-                        jnp.asarray(batch["input_mask"]))
-                    step_records.append((batch, valid, tags))
+                    # Viterbi ran inside the train program (fused decode);
+                    # tags stay on device until the pooled epoch-end fetch.
+                    step_records.append((batch, valid,
+                                         metrics["pred_tags"]))
 
             n_steps = len(loss_devs)
             epoch_loss = float(np.sum([np.asarray(l) for l, _ in loss_devs]))
@@ -227,10 +235,18 @@ class CrfTrainer:
                     "grad_norm",
                     float(np.mean([np.asarray(g) for _, g in loss_devs])),
                     epoch)
-            for batch, valid, tags in step_records:
+            tags_np = []
+            if step_records:
+                # fetch all step tags with overlapped RPCs (device→host
+                # round-trips would otherwise serialize at ~25 ms each)
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=4) as fetcher:
+                    tags_np = list(fetcher.map(
+                        np.asarray, [t for _, _, t in step_records]))
+            for (batch, valid, _), tags in zip(step_records, tags_np):
                 yt, yp = labels_to_tags(
                     batch["label_ids"], batch["input_mask"],
-                    self.inv_label_map, np.asarray(tags))
+                    self.inv_label_map, tags)
                 for j in range(len(yt)):
                     if valid[j]:
                         y_true.append(yt[j])

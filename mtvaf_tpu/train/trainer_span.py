@@ -47,11 +47,19 @@ class GuideCache:
       dirs/dicts — MTVAF_training.py:321-348);
     * host RAM is bounded (LRU over ``max_items`` images, ~245 KB each);
       evicted entries spill to a ``.npy`` disk cache next to the pixel cache
-      (guides are ~600x smaller than the pixels they derive from).
+      (guides are ~600x smaller than the pixels they derive from);
+    * with ``device_items > 0`` a DEVICE-RESIDENT bf16 table holds one row
+      per image in HBM (~123 KB/image) and batches are assembled by an
+      on-device gather: the guides are frozen per-image constants (the
+      model casts them to bf16 at the prefix projector anyway), so after
+      the one-time row insert NO guide bytes ever cross host↔device again.
+      On a latency/bandwidth-bound link (the tunneled axon backend moves
+      ~38 MB/s; per-example guides are 8 MB/batch) this takes the
+      production train loop from upload-bound to step-bound.
     """
 
     def __init__(self, resnet_params, depth: int, *, max_items: int = 8192,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None, device_items: int = 0):
         from collections import OrderedDict
         self._guide_fn = jax.jit(
             lambda imgs, aux: compute_visual_guides(resnet_params, imgs, aux,
@@ -61,6 +69,38 @@ class GuideCache:
         self.cache_dir = cache_dir
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
+        # device guide table (lazy-allocated at first insert)
+        self.device_items = int(device_items)
+        self._dev_main = None      # (N, 4, C) bf16 on device
+        self._dev_aux = None       # (N, 3, 4, C) bf16 on device
+        self._dev_rows: dict = {}  # key -> row index
+        self._dev_insert = jax.jit(
+            lambda tm, ta, i, rm, ra: (tm.at[i].set(rm), ta.at[i].set(ra)),
+            donate_argnums=(0, 1))
+        self._dev_gather = jax.jit(
+            lambda tm, ta, idx: (jnp.take(tm, idx, axis=0),
+                                 jnp.take(ta, idx, axis=0)))
+
+    def _dev_put(self, key: tuple, value: tuple) -> bool:
+        """Insert one image's guides into the device table; False if full."""
+        if self.device_items <= 0:
+            return False
+        if key in self._dev_rows:
+            return True
+        if len(self._dev_rows) >= self.device_items:
+            return False
+        main, aux = value
+        if self._dev_main is None:
+            self._dev_main = jnp.zeros((self.device_items,) + main.shape,
+                                       jnp.bfloat16)
+            self._dev_aux = jnp.zeros((self.device_items,) + aux.shape,
+                                      jnp.bfloat16)
+        row = len(self._dev_rows)
+        self._dev_main, self._dev_aux = self._dev_insert(
+            self._dev_main, self._dev_aux, row,
+            jnp.asarray(main, jnp.bfloat16), jnp.asarray(aux, jnp.bfloat16))
+        self._dev_rows[key] = row
+        return True
 
     @staticmethod
     def _store_key(store) -> str:
@@ -95,6 +135,10 @@ class GuideCache:
         return None
 
     def batch(self, image_ids, store):
+        """Guides for a batch of image ids: (main, aux) arrays.
+
+        Returns DEVICE arrays (bf16, gathered from the resident table) when
+        every id has a table row, host fp32 arrays otherwise."""
         skey = self._store_key(store)
         keys = [(skey, i) for i in image_ids]
         # Hold this call's values locally so LRU eviction mid-batch (when
@@ -107,14 +151,92 @@ class GuideCache:
         missing = [k for k in dict.fromkeys(keys) if k not in local]
         if missing:
             main, aux = store.batch([k[1] for k in missing], with_aux=True)
+            # Pad the miss-batch to a power-of-two bucket: the jitted ResNet
+            # guide program compiles once per bucket (≤ log2(bsz) programs)
+            # instead of once per distinct miss count — a cold cache would
+            # otherwise trigger a fresh (minutes-long, remote) XLA compile
+            # for nearly every early batch.
+            n = len(missing)
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            if bucket > n:
+                pad = bucket - n
+                main = np.concatenate([main, np.repeat(main[-1:], pad, 0)])
+                aux = np.concatenate([aux, np.repeat(aux[-1:], pad, 0)])
             mg, ag = self._guide_fn(jnp.asarray(main), jnp.asarray(aux))
-            mg, ag = np.asarray(mg), np.asarray(ag)
+            mg, ag = np.asarray(mg)[:n], np.asarray(ag)[:n]
             for j, k in enumerate(missing):
                 local[k] = (mg[j], ag[j])
                 self._put(k, local[k])
+        if self.device_items > 0:
+            # ensure a device row per key (one-time ~123 KB bf16 upload each)
+            all_resident = all(self._dev_put(k, local[k]) for k in
+                               dict.fromkeys(keys))
+            if all_resident:
+                idx = jnp.asarray([self._dev_rows[k] for k in keys],
+                                  jnp.int32)
+                return self._dev_gather(self._dev_main, self._dev_aux, idx)
         main_g = np.stack([local[k][0] for k in keys])
         aux_g = np.stack([local[k][1] for k in keys])
         return main_g, aux_g
+
+
+_UNPACK_CACHE: Dict[tuple, object] = {}
+_WIDTH_TYPES = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint64}
+
+
+def pack_and_put(out: Dict) -> Dict:
+    """Single-device batch placement: ONE host→device transfer per batch.
+
+    Every host leaf is serialized into one uint8 buffer; the device runs a
+    single jitted unpack (static slice + bitcast + reshape per leaf,
+    compiled once per batch layout).  On a latency-bound link each
+    host→device transfer pays a full RPC (~25-40 ms through the tunneled
+    axon backend), so per-leaf uploads dominate the train-loop wall; this
+    collapses them to one upload + one dispatch.  Device-array leaves
+    (e.g. table-gathered guides) pass through untouched."""
+    host, placed = [], {}
+    for k, v in out.items():
+        if isinstance(v, jax.Array):
+            placed[k] = v
+        else:
+            host.append((k, v))
+    if not host:
+        return placed
+    if any(v.dtype.itemsize not in _WIDTH_TYPES for _, v in host):
+        placed.update({k: jnp.asarray(v) for k, v in host})   # fallback
+        return placed
+
+    segs, bufs, off = [], [], 0
+    for k, v in host:
+        a = np.ascontiguousarray(v)
+        b = a.view(np.uint8).reshape(-1)
+        segs.append((k, a.dtype.str, a.shape, off, b.nbytes))
+        bufs.append(b)
+        off += b.nbytes
+    layout = tuple(segs)
+
+    unpack = _UNPACK_CACHE.get(layout)
+    if unpack is None:
+        def unpack_fn(big):
+            res = {}
+            for k, dt, shape, o, n in layout:
+                dtype = np.dtype(dt)
+                seg = big[o:o + n]
+                if dtype.itemsize > 1:
+                    seg = jax.lax.bitcast_convert_type(
+                        seg.reshape(-1, dtype.itemsize),
+                        _WIDTH_TYPES[dtype.itemsize])
+                if seg.dtype != dtype:
+                    seg = jax.lax.bitcast_convert_type(seg, dtype) \
+                        if dtype.kind in "fiu" else seg.astype(dtype)
+                res[k] = seg.reshape(shape)
+            return res
+        unpack = _UNPACK_CACHE[layout] = jax.jit(unpack_fn)
+
+    placed.update(unpack(jnp.asarray(np.concatenate(bufs))))
+    return placed
 
 
 class SpanTrainer:
@@ -156,16 +278,6 @@ class SpanTrainer:
                                                     attention_impl)
         self.classification_step = make_classification_step(cfg, bert_cfg)
 
-        self.guide_cache = None
-        if cfg.use_prefix and resnet_params is not None and any(
-                d is not None and d.image_store for d in
-                (train_dataset, dev_dataset, test_dataset)):
-            self.guide_cache = GuideCache(
-                resnet_params, cfg.resnet_depth,
-                max_items=cfg.guide_cache_size,
-                cache_dir=os.path.join(cfg.cache_dir, "guides")
-                if cfg.cache_dir else None)
-
         # SPMD data(-×tensor)-parallel mesh over all devices (reference DDP
         # engagement point, MTVAF_training.py:301-311).  None = single device.
         from ..core.mesh import trainer_meshes
@@ -178,6 +290,23 @@ class SpanTrainer:
                                  self.mesh.devices.shape)),
                         self.mesh.devices.size, self.process_count)
         self._shard_state()
+
+        self.guide_cache = None
+        if cfg.use_prefix and resnet_params is not None and any(
+                d is not None and d.image_store for d in
+                (train_dataset, dev_dataset, test_dataset)):
+            # The device-resident guide table (bf16 rows gathered on device)
+            # engages on single-device bf16 runs; mesh/multi-host runs and
+            # fp32-parity runs keep the host path (guides shipped per batch).
+            dev_items = cfg.guide_cache_device_items \
+                if (self.mesh is None and cfg.bf16
+                    and self.process_count == 1) else 0
+            self.guide_cache = GuideCache(
+                resnet_params, cfg.resnet_depth,
+                max_items=cfg.guide_cache_size,
+                cache_dir=os.path.join(cfg.cache_dir, "guides")
+                if cfg.cache_dir else None,
+                device_items=dev_items)
 
         self.best_dev_metric = 0.0
         self.best_dev_epoch = None
@@ -214,8 +343,12 @@ class SpanTrainer:
 
     def _device_batch(self, batch: Dict, accum: int = 1,
                       mesh=None) -> Dict:
-        out = {k: np.asarray(v) for k, v in batch.items()
-               if k != "batch_valid"}
+        # leaves that are ALREADY device arrays (device-gathered guides)
+        # pass through untouched — np.asarray would download them.
+        # example_index is host-side bookkeeping — never shipped.
+        drop = ("batch_valid", "example_index")
+        out = {k: v if isinstance(v, jax.Array) else np.asarray(v)
+               for k, v in batch.items() if k not in drop}
         if accum > 1:
             # micro-batch leading dim for the scan-accumulated step
             out = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
@@ -223,7 +356,7 @@ class SpanTrainer:
         if mesh is not None:
             return put_global_batch(out, mesh,
                                     batch_dim=1 if accum > 1 else 0)
-        return {k: jnp.asarray(v) for k, v in out.items()}
+        return pack_and_put(out)
 
     # ------------------------------------------------------------------
     def load_pretrained(self, load_path: str):
@@ -278,11 +411,13 @@ class SpanTrainer:
                         b, cfg.gradient_accumulation_steps, mesh=self.mesh)
                     yield b, valid, dev
 
+            # One key per epoch; the step folds in state.step internally
+            # (steps.single_step) so no per-step host dispatch is needed.
+            epoch_rng = jax.random.fold_in(self.rng, epoch)
             for batch, valid, dev_batch in prefetch(host_to_device()):
-                self.rng, step_rng = jax.random.split(self.rng)
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,
-                                                      step_rng)
+                                                      epoch_rng)
                 profiler.step_end()
                 loss_devs.append((metrics["loss"],
                                   metrics.get("grad_norm")))

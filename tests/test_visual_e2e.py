@@ -116,3 +116,70 @@ def test_aux_map_torch_pth_roundtrip(tmp_path):
     m = load_aux_map(path)
     assert m == {"a.jpg": ["crop1.jpg", "crop2.jpg"]}
     assert load_aux_map(str(tmp_path / "missing.pth")) is None
+
+
+def test_guide_cache_device_table(tmp_path):
+    """Device-resident guide table: gather matches the host path (bf16
+    quantization only), miss-bucket compile shapes, and full-table
+    fallback."""
+    import jax.numpy as jnp
+    from mtvaf_tpu.data.images import ImageStore
+    from mtvaf_tpu.train.trainer_span import GuideCache
+
+    img_ids = [f"{800000 + i}.jpg" for i in range(5)]
+    img_dir = tmp_path / "imgs"
+    make_images(str(img_dir), img_ids, size=96)
+    store = ImageStore(str(img_dir))
+    resnet_params = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+
+    host = GuideCache(resnet_params, 18, device_items=0)
+    dev = GuideCache(resnet_params, 18, device_items=8)
+
+    hm, ha = host.batch(img_ids, store)
+    dm, da = dev.batch(img_ids, store)
+    assert isinstance(dm, jax.Array) and dm.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(dm, np.float32), hm,
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(da, np.float32), ha,
+                               rtol=1e-2, atol=1e-2)
+
+    # second call is a pure device gather (rows resident), repeated ids ok
+    dm2, _ = dev.batch([img_ids[0], img_ids[0], img_ids[3]], store)
+    np.testing.assert_allclose(np.asarray(dm2[0]), np.asarray(dm2[1]))
+
+    # table smaller than the id set -> host fallback (np arrays)
+    tiny = GuideCache(resnet_params, 18, device_items=2)
+    tm, ta = tiny.batch(img_ids, store)
+    assert isinstance(tm, np.ndarray)
+    np.testing.assert_allclose(tm, hm, rtol=1e-6, atol=1e-6)
+
+
+def test_crf_trainer_device_guide_table(tmp_path):
+    """bf16 single-device run engages the device guide table end-to-end."""
+    img_ids = [f"{900000 + i}.jpg" for i in range(4)]
+    img_dir = tmp_path / "imgs"
+    make_images(str(img_dir), img_ids, size=96)
+    tsv, anp = tmp_path / "train.txt", tmp_path / "anp.json"
+    make_crf_files(str(tsv), str(anp), 6, seed=0, num_anp=8,
+                   image_ids=img_ids)
+    vocab = tmp_path / "vocab.txt"
+    make_vocab_file(str(vocab))
+    tokenizer = FullTokenizer(str(vocab))
+
+    cfg = Config(dataset_name="twitter2015", use_prefix=True, use_18=True,
+                 vao=True, prefix_len=4, num_anp_classes=8, max_seq=24,
+                 train_batch_size=2, eval_batch_size=2, num_epochs=1,
+                 eval_begin_epoch=99, bf16=True, mesh_data=1)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = CrfDataset.load(cfg, tokenizer, str(tsv), str(anp),
+                         img_dir=str(img_dir))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet_params = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                         dev_dataset=ds, test_dataset=ds,
+                         resnet_params=resnet_params)
+    assert trainer.guide_cache.device_items > 0
+    trainer.train()
+    assert len(trainer.guide_cache._dev_rows) >= 4
+    y_true, y_pred, loss = trainer._predict(ds)
+    assert np.isfinite(loss)
