@@ -436,11 +436,19 @@ class SpanTrainer:
                     float(np.mean([np.asarray(g) for _, g in loss_devs])),
                     epoch)
 
-            # Train-metric collection (reference modules/train.py:122-130)
+            # Train-metric collection (reference modules/train.py:122-130).
+            # Per-step logits fetch through a thread pool — serial
+            # device→host round-trips cost ~25 ms each on tunneled links.
+            ac_np = []
+            if step_records:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=4) as fetcher:
+                    ac_np = list(fetcher.map(
+                        lambda t: np.asarray(t) if t is not None else None,
+                        [r[2] for r in step_records]))
             all_results = []
-            for batch, valid, ac_logits in step_records:
-                ac_pred = np.asarray(ac_logits).argmax(axis=-1) \
-                    if ac_logits is not None else None
+            for (batch, valid, _), ac in zip(step_records, ac_np):
+                ac_pred = ac.argmax(axis=-1) if ac is not None else None
                 for j_idx, ex_idx in enumerate(batch["example_index"]):
                     if not valid[j_idx]:
                         continue
