@@ -130,3 +130,27 @@ def test_span_accum_train_f1_from_predictions(tmp_path, tokenizer,
     # a random-init tiny model cannot reproduce the gold polarities; the
     # gold fallback would report exactly p = r = f1 = 1.0.
     assert captured["metrics"]["f1"] < 1.0
+
+
+def test_pack_and_put_roundtrip():
+    """Single-buffer batch upload restores every leaf bit-exactly."""
+    import jax.numpy as jnp
+    from mtvaf_tpu.train.trainer_span import pack_and_put
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "ids": rng.randint(-2**31, 2**31 - 1, (4, 7)).astype(np.int32),
+        "mask": rng.rand(4, 7).astype(np.float32),
+        "odd": rng.randint(0, 2, (3,)).astype(np.int32),
+        "flags": rng.rand(5) < 0.5,
+        "wide": rng.randn(2, 3, 5).astype(np.float32),
+        "already_dev": jnp.arange(6).reshape(2, 3),
+    }
+    out = pack_and_put(batch)
+    for k, v in batch.items():
+        got = np.asarray(out[k])
+        if k == "already_dev":
+            assert out[k] is batch[k]
+            continue
+        assert got.dtype == v.dtype and got.shape == v.shape, k
+        np.testing.assert_array_equal(got, v, err_msg=k)
