@@ -374,8 +374,6 @@ class SpanTrainer:
         cfg = self.cfg
         ds = self.train_dataset
         profiler = StepProfiler(cfg.profile_dir, num_steps=cfg.profile_steps)
-        t_start = time.time()
-        n_examples = 0
         start_epoch = 1
         if cfg.resume and cfg.save_path:
             state, start_epoch, meta = load_latest_checkpoint(
@@ -396,6 +394,8 @@ class SpanTrainer:
             # reference syncs every step — modules/train.py:113).
             step_records = []
             loss_devs = []
+            n_examples = 0
+            t0 = time.time()
             from ..data.datasets import prefetch
             def host_to_device():
                 # guide-cache fills AND the host→device transfer run in the
@@ -464,10 +464,12 @@ class SpanTrainer:
 
             metrics_out, nbest = eval_absa(ds.examples, ds.features,
                                            all_results, cfg.do_lower_case)
+            # per-epoch throughput (matches CrfTrainer; a cumulative rate
+            # buries the steady state under epoch-1 compile time)
             logger.info("epoch %d train loss %.5f f1 %.4f (%.1f ex/s)",
                         epoch, epoch_loss / max(n_steps, 1),
                         metrics_out["f1"],
-                        n_examples / (time.time() - t_start))
+                        n_examples / max(time.time() - t0, 1e-9))
             if self.writer:
                 self.writer.add_scalar("train_loss",
                                        epoch_loss / max(n_steps, 1), epoch)
