@@ -144,7 +144,11 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
     from ..native.binding import maybe_accelerate
     tokenizer = maybe_accelerate(
         build_tokenizer(cfg.bert_name, cfg.do_lower_case))
-    bert_cfg = bert_cfg_override or BertConfig.base(cfg.is_roberta)
+    bert_cfg = bert_cfg_override or BertConfig.from_hf_dir(
+        cfg.bert_name, cfg.is_roberta)
+    if cfg.remat:
+        import dataclasses
+        bert_cfg = dataclasses.replace(bert_cfg, remat=True)
     bert_params = load_backbone_params(cfg, bert_cfg)
     resnet_params = load_resnet(cfg) if cfg.use_prefix else None
 

@@ -166,6 +166,9 @@ class Config:
     profile_steps: int = 5              # trace window length (train steps)
     log_grad_norm: bool = False         # global grad-norm metric → TensorBoard
                                         # (full-tree fp32 reduce, ~0.8 ms/step)
+    remat: bool = False                 # checkpoint encoder layers (recompute
+                                        # activations in backward; for larger
+                                        # backbones / long context)
     save_checkpoints: bool = False      # full train-state checkpoint per epoch
     resume: bool = False                # resume from latest checkpoint
     optimizer_mu_bf16: bool = True      # AdamW first moment in bf16 (halves

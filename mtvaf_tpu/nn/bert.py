@@ -45,6 +45,10 @@ class BertConfig:
     initializer_range: float = 0.02
     is_roberta: bool = False
     pad_token_id: int = 0          # roberta: 1
+    remat: bool = False            # checkpoint each encoder layer: backward
+                                   # recomputes activations instead of
+                                   # stashing them (trade FLOPs for HBM —
+                                   # for larger backbones / long context)
 
     @property
     def head_dim(self) -> int:
@@ -56,6 +60,30 @@ class BertConfig:
             return BertConfig(vocab_size=50265, max_position_embeddings=514,
                               type_vocab_size=1, is_roberta=True, pad_token_id=1)
         return BertConfig()
+
+    @staticmethod
+    def from_hf_dir(path: str, is_roberta: bool = False) -> "BertConfig":
+        """Build from a local HF checkpoint's ``config.json`` so any
+        architecture size (base/large/custom) loads correctly — the
+        reference gets this via ``from_pretrained`` (models/bert_model.py:
+        200-207); falls back to :meth:`base` when no config file exists."""
+        import json
+        import os
+        p = os.path.join(path, "config.json")
+        if not os.path.isfile(p):
+            return BertConfig.base(is_roberta)
+        with open(p) as f:
+            d = json.load(f)
+        is_roberta = is_roberta or d.get("model_type") == "roberta"
+        base = BertConfig.base(is_roberta)
+        keys = ("vocab_size", "hidden_size", "num_hidden_layers",
+                "num_attention_heads", "intermediate_size",
+                "max_position_embeddings", "type_vocab_size",
+                "hidden_dropout_prob", "attention_probs_dropout_prob",
+                "layer_norm_eps", "initializer_range", "pad_token_id")
+        import dataclasses
+        return dataclasses.replace(
+            base, **{k: d[k] for k in keys if k in d})
 
     @staticmethod
     def tiny(is_roberta: bool = False, **kw) -> "BertConfig":
@@ -261,6 +289,12 @@ def bert_encoder(params, cfg: BertConfig, embedding_output, attention_mask,
                                  captured)
         ys = new_hidden if collect_all_hidden else None
         return (new_hidden, captured), ys
+
+    if cfg.remat:
+        # checkpoint per layer: the scan backward recomputes each layer's
+        # activations from its carry instead of stashing them in HBM
+        # (same math; trades ~1/3 more FLOPs for O(layers) less memory)
+        body = jax.checkpoint(body)
 
     idxs = jnp.arange(L)
     xs = (idxs, params["layers"], prefix_kvs, layer_rngs)

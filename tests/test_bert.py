@@ -193,3 +193,52 @@ class TestInitShapes:
         out = bert_model(params, cfg,
                          jnp.zeros((2, 6), jnp.int32), jnp.ones((2, 6), jnp.int32))
         assert out["last_hidden_state"].shape == (2, 6, cfg.hidden_size)
+
+
+class TestRemat:
+    def test_remat_matches_plain_grads(self):
+        """jax.checkpoint-ed encoder: identical loss and gradients."""
+        import dataclasses
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from mtvaf_tpu.nn.bert import BertConfig, bert_model, init_bert_params
+
+        cfg = BertConfig.tiny()
+        rng = jax.random.PRNGKey(0)
+        params = init_bert_params(rng, cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0,
+                                 cfg.vocab_size)
+
+        # random linear readout: sum(LN(x)^2) would be ~constant (LN fixes
+        # the row norm) and its vanishing grads compare pure fp32 noise
+        w = jax.random.normal(jax.random.PRNGKey(2),
+                              (2, 10, cfg.hidden_size))
+
+        def loss(p, c):
+            out = bert_model(p, c, ids)
+            return jnp.sum(out["last_hidden_state"] * w)
+
+        cfg_r = dataclasses.replace(cfg, remat=True)
+        l0, g0 = jax.value_and_grad(loss)(params, cfg)
+        l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        # recomputation reassociates fp32 reductions — epsilon-level drift
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g0, g1)
+
+    def test_from_hf_dir_reads_config(self, tmp_path):
+        import json
+        from mtvaf_tpu.nn.bert import BertConfig
+        (tmp_path / "config.json").write_text(json.dumps({
+            "model_type": "bert", "vocab_size": 1234, "hidden_size": 1024,
+            "num_hidden_layers": 24, "num_attention_heads": 16,
+            "intermediate_size": 4096}))
+        c = BertConfig.from_hf_dir(str(tmp_path))
+        assert (c.vocab_size, c.hidden_size, c.num_hidden_layers,
+                c.num_attention_heads, c.intermediate_size) == \
+            (1234, 1024, 24, 16, 4096)
+        assert not c.is_roberta
+        # no config.json -> base defaults
+        assert BertConfig.from_hf_dir(str(tmp_path / "nope")) == \
+            BertConfig.base()
