@@ -225,7 +225,12 @@ class CrfTrainer:
                         and self.process_count == 1:
                     # Viterbi ran inside the train program (fused decode);
                     # tags stay on device until the pooled epoch-end fetch.
-                    step_records.append((batch, valid,
+                    # Guides (possibly device-resident) are dropped from the
+                    # record — holding them for a whole epoch would pin
+                    # O(steps) HBM.
+                    rec = {k: v for k, v in batch.items()
+                           if k not in ("main_guides", "aux_guides")}
+                    step_records.append((rec, valid,
                                          metrics["pred_tags"]))
 
             n_steps = len(loss_devs)

@@ -425,7 +425,12 @@ class SpanTrainer:
                 if self.process_count == 1:
                     # multi-host: per-example logits span processes and are
                     # not host-fetchable; train metrics are single-host only.
-                    step_records.append((batch, valid,
+                    # Guides (possibly device-resident, ~4 MB/batch) are not
+                    # needed for metrics — holding them for a whole epoch
+                    # would pin O(steps) HBM.
+                    rec = {k: v for k, v in batch.items()
+                           if k not in ("main_guides", "aux_guides")}
+                    step_records.append((rec, valid,
                                          metrics.get("ac_logits")))
 
             n_steps = len(loss_devs)
