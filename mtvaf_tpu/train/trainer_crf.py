@@ -15,7 +15,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

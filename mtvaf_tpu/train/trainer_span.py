@@ -25,14 +25,14 @@ import numpy as np
 
 from ..core.checkpoint import load_best, save_best, transplant
 from ..core.config import Config
-from ..core.mesh import auto_data_axis, make_mesh, put_global_batch
+from ..core.mesh import put_global_batch
 from ..eval.metrics import eval_absa
 from ..eval.span_decode import RawFinalResult, batch_eval_candidates
 from ..nn.bert import BertConfig, xla_attention
 from ..nn.models import compute_visual_guides
 from .augment import make_span_augment_fn
 from .optim import build_optimizer
-from .steps import (TrainState, create_train_state, make_classification_step,
+from .steps import (create_train_state, make_classification_step,
                     make_extraction_step, make_span_loss_fn, make_train_step,
                     shard_train_state)
 
