@@ -58,22 +58,47 @@ def load_best(path: str, template_params):
     return _unflatten_into(template_params, flat)
 
 
-def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None) -> None:
-    """Full train-state checkpoint via orbax."""
-    import orbax.checkpoint as ocp
+_CKPTR = None
+
+
+def _checkpointer():
+    """Shared async orbax checkpointer.
+
+    ``StandardCheckpointer.save`` copies device arrays to host
+    synchronously and writes to storage in the BACKGROUND — a per-epoch
+    full-state save (~1.7 GB at flagship scale, ~25 s of serialization)
+    overlaps the next epoch's training instead of stalling it.  The
+    host-copy-first semantics make it safe with donated train state."""
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all background checkpoint writes have landed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None, *,
+                    wait: bool = False) -> None:
+    """Full train-state checkpoint via orbax (background write)."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     step = int(state.step) if step is None else step
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(ckpt_dir, f"step_{step}"), state, force=True)
+    ckptr = _checkpointer()
+    ckptr.save(os.path.join(ckpt_dir, f"step_{step}"), state, force=True)
+    if wait:
+        ckptr.wait_until_finished()
 
 
 def load_checkpoint(ckpt_dir: str, template_state, step: int):
-    import orbax.checkpoint as ocp
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(
-            os.path.join(os.path.abspath(ckpt_dir), f"step_{step}"),
-            template_state)
+    wait_for_checkpoints()     # a same-run pending save must land first
+    return _checkpointer().restore(
+        os.path.join(os.path.abspath(ckpt_dir), f"step_{step}"),
+        template_state)
 
 
 def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:

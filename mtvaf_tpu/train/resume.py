@@ -13,7 +13,7 @@ import os
 from typing import Optional, Tuple
 
 from ..core.checkpoint import (latest_checkpoint_step, load_checkpoint,
-                               save_checkpoint)
+                               save_checkpoint, wait_for_checkpoints)
 
 
 def _ckpt_dir(save_path: str) -> str:
@@ -30,6 +30,7 @@ def save_epoch_checkpoint(save_path: str, state, epoch: int, meta: dict) -> None
 def load_latest_checkpoint(save_path: str, template_state
                            ) -> Tuple[Optional[object], int, dict]:
     """Returns (state or None, start_epoch, meta)."""
+    wait_for_checkpoints()   # in-flight background saves must land first
     ckpt = _ckpt_dir(save_path)
     epoch = latest_checkpoint_step(ckpt)
     if epoch is None:

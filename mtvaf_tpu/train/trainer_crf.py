@@ -282,6 +282,9 @@ class CrfTrainer:
                     {"best_dev_metric": self.best_dev_metric,
                      "best_test_metric": self.best_test_metric,
                      "rng": np.asarray(self.rng).tolist()})
+        if cfg.save_checkpoints:
+            from ..core.checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()   # background writes land before return
         return self.best_dev_metric
 
     # ------------------------------------------------------------------

@@ -488,6 +488,9 @@ class SpanTrainer:
                     cfg.save_path, self.state, epoch,
                     {"best_dev_metric": self.best_dev_metric,
                      "rng": np.asarray(self.rng).tolist()})
+        if cfg.save_checkpoints:
+            from ..core.checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()   # background writes land before return
         return self.best_dev_metric
 
     # ------------------------------------------------------------------
