@@ -170,6 +170,10 @@ class Config:
                                         # activations in backward; for larger
                                         # backbones / long context)
     save_checkpoints: bool = False      # full train-state checkpoint per epoch
+    checkpoint_every: int = 1           # checkpoint every N epochs (writes are
+                                        # async but serialize with each other;
+                                        # raise N when epochs are shorter than
+                                        # a ~1.7 GB state write)
     resume: bool = False                # resume from latest checkpoint
     optimizer_mu_bf16: bool = True      # AdamW first moment in bf16 (halves
                                         # its HBM traffic, ~1.4ms/step; second

@@ -276,7 +276,8 @@ class CrfTrainer:
             if epoch >= cfg.eval_begin_epoch:
                 self.evaluate(epoch)
                 self.test(epoch)
-            if cfg.save_checkpoints and cfg.save_path:
+            if cfg.save_checkpoints and cfg.save_path \
+                    and epoch % cfg.checkpoint_every == 0:
                 save_epoch_checkpoint(
                     cfg.save_path, self.state, epoch,
                     {"best_dev_metric": self.best_dev_metric,

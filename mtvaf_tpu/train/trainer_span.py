@@ -483,7 +483,8 @@ class SpanTrainer:
                 self._write_json(nbest, "train_predictions.json")
             if epoch >= cfg.eval_begin_epoch:
                 self.evaluate(epoch)
-            if cfg.save_checkpoints and cfg.save_path:
+            if cfg.save_checkpoints and cfg.save_path \
+                    and epoch % cfg.checkpoint_every == 0:
                 save_epoch_checkpoint(
                     cfg.save_path, self.state, epoch,
                     {"best_dev_metric": self.best_dev_metric,
