@@ -204,10 +204,13 @@ def iterate_batches(arrays: Dict[str, np.ndarray], batch_size: int, *,
         yield batch
 
 
-def prefetch(iterator, size: int = 2):
+def prefetch(iterator, size: int = 4):
     """Background-thread prefetch: overlap host batch assembly (numpy
-    slicing, guide-cache lookups, image decode) with device execution.
-    The reference's equivalent is torch DataLoader(num_workers=4)."""
+    slicing, guide-cache lookups, image decode, the packed device upload)
+    with device execution.  Queue depth 4: on latency-bound backends the
+    per-batch upload RPC takes longer than one step, so several batches'
+    transfers must be in flight at once.  The reference's equivalent is
+    torch DataLoader(num_workers=4)."""
     import queue
     import threading
 
