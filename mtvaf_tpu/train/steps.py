@@ -217,14 +217,30 @@ def make_crf_decode_step(cfg, bert_cfg: BertConfig,
 
 def shard_train_state(state: TrainState, mesh) -> TrainState:
     """Place params/opt state on the mesh with the TP partition rules (pure
-    DP → fully replicated)."""
+    DP → fully replicated).
+
+    Optimizer moments (optax mu/nu) mirror the param tree — any opt-state
+    subtree with the params' structure is sharded exactly like the params
+    (under TP a replicated moment tree would waste memory and reshard on
+    every update); scalars and everything else replicate."""
     p_sh = param_sharding(mesh, state.params)
+    p_treedef = jax.tree.structure(state.params)
     params = jax.tree.map(jax.device_put, state.params, p_sh,
                           is_leaf=lambda x: hasattr(x, "shape"))
-    # opt state mirrors params structure where leaves match; replicate rest.
-    def put_opt(leaf):
-        return jax.device_put(leaf, replicated(mesh))
-    opt_state = jax.tree.map(put_opt, state.opt_state)
+
+    def shard_opt(node):
+        if jax.tree.structure(node) == p_treedef and not hasattr(node, "shape"):
+            return jax.tree.map(jax.device_put, node, p_sh)
+        children, treedef = jax.tree.flatten(
+            node, is_leaf=lambda x: x is not node and (
+                hasattr(x, "shape")
+                or jax.tree.structure(x) == p_treedef))
+        if len(children) == 1 and children[0] is node:   # a bare leaf
+            return jax.device_put(node, replicated(mesh)) \
+                if hasattr(node, "shape") else node
+        return jax.tree.unflatten(treedef, [shard_opt(c) for c in children])
+
+    opt_state = shard_opt(state.opt_state)
     step = jax.device_put(state.step, replicated(mesh))
     return TrainState(params=params, opt_state=opt_state, step=step)
 

@@ -157,3 +157,38 @@ def test_grad_accumulation_matches_large_batch(setup):
     for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         # parameters move in the same direction with similar magnitude
         assert np.allclose(np.asarray(x), np.asarray(y), atol=5e-3)
+
+
+def test_opt_state_follows_param_sharding(setup):
+    """Optimizer moments (mu/nu) shard exactly like their params under TP —
+    a replicated moment tree would waste memory and reshard every update."""
+    from mtvaf_tpu.train.steps import shard_train_state
+
+    cfg, bert_cfg, params = setup
+    mesh = make_mesh(data=4, model=2)
+    optimizer, _ = build_optimizer(params, cfg, total_steps=10,
+                                   pipeline="crf")
+    state = create_train_state(params, optimizer)
+    state = shard_train_state(state, mesh)
+
+    qkv = state.params["bert"]["layers"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, None, "model")
+    # find the adam moments inside the optax chain state
+    adam = next(s for s in jax.tree.leaves(
+        state.opt_state, is_leaf=lambda x: hasattr(x, "mu")))
+    mu_qkv = adam.mu["bert"]["layers"]["attn"]["qkv"]["kernel"]
+    nu_qkv = adam.nu["bert"]["layers"]["attn"]["qkv"]["kernel"]
+    assert mu_qkv.sharding.spec == P(None, None, "model")
+    assert nu_qkv.sharding.spec == P(None, None, "model")
+    # scalars stay replicated
+    assert adam.count.sharding.spec == P()
+
+    # the sharded state still trains (one DP x TP step)
+    loss_fn = make_crf_loss_fn(cfg, bert_cfg)
+    step = make_train_step(loss_fn, optimizer, donate=False)
+    from mtvaf_tpu.core.mesh import batch_sharding as bsh
+    batch = {k: jax.device_put(v, bsh(mesh))
+             for k, v in make_batch(cfg, bert_cfg).items()}
+    with mesh:
+        state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
