@@ -90,3 +90,14 @@ def test_exact_resume_bit_identical(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     np.testing.assert_array_equal(np.asarray(t_straight.rng),
                                   np.asarray(t_b.rng))
+
+
+def test_checkpoint_every_throttles(tmp_path):
+    """--checkpoint_every N writes only every Nth epoch's state."""
+    import dataclasses
+    t = build(tmp_path, num_epochs=4)
+    t.cfg = dataclasses.replace(t.cfg, checkpoint_every=2)
+    t.train()
+    ckpt = tmp_path / "out" / "ckpt"
+    steps = sorted(n for n in os.listdir(ckpt) if n.startswith("step_"))
+    assert steps == ["step_2", "step_4"]
