@@ -71,8 +71,14 @@ def _checkpointer():
     host-copy-first semantics make it safe with donated train state."""
     global _CKPTR
     if _CKPTR is None:
+        import atexit
+
         import orbax.checkpoint as ocp
         _CKPTR = ocp.StandardCheckpointer()
+        # Callers outside the trainers' run() (which calls
+        # wait_for_checkpoints itself) must not lose an in-flight background
+        # write at interpreter exit — that would leave only an orbax tmp dir.
+        atexit.register(wait_for_checkpoints)
     return _CKPTR
 
 

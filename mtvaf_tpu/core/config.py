@@ -160,7 +160,9 @@ class Config:
                                         # rows (~123 KB/image HBM); batches
                                         # gather on device — no per-step
                                         # guide upload. 0 disables. Engages
-                                        # on single-device bf16 runs only.
+                                        # on bf16 runs, single-device and
+                                        # single-host SPMD meshes alike
+                                        # (table replicated over the mesh).
     deterministic_eval_images: bool = True  # center crop at eval (survey §5)
     profile_dir: Optional[str] = None   # jax.profiler trace output directory
     profile_steps: int = 5              # trace window length (train steps)
@@ -208,6 +210,10 @@ class Config:
             raise ValueError(f"filter_type must be 'em' or 'f1', got {self.filter_type!r}")
         if self.sample_ratio <= 0 or self.sample_ratio > 1:
             raise ValueError("sample_ratio must be in (0, 1]")
+        if self.checkpoint_every < 1:
+            raise ValueError(
+                "checkpoint_every must be >= 1 (use --no_save_checkpoints "
+                "to disable checkpointing)")
 
     # ---------------------------------------------------------------------
     @property

@@ -66,10 +66,26 @@ def put_global_batch(batch: dict, mesh: Mesh, batch_dim: int = 0) -> dict:
     """
     spec = P(*([None] * batch_dim), "data")
     sh = NamedSharding(mesh, spec)
+    rep = NamedSharding(mesh, P())
+    data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+
+    def leaf_sharding(v):
+        # a leaf whose batch dim the data axis does not divide (or that has
+        # no batch dim at all) replicates instead of erroring
+        if v.ndim <= batch_dim or v.shape[batch_dim] % data_size != 0:
+            return rep
+        return sh
+
+    device_leaves = {k: v for k, v in batch.items()
+                     if isinstance(v, jax.Array)}   # already placed (guides)
+    batch = {k: v for k, v in batch.items() if k not in device_leaves}
     if all(d.process_index == jax.process_index()
            for d in mesh.devices.flat):   # fully addressable (incl. 1-host)
-        return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
-    out = {}
+        out = {k: jax.device_put(np.asarray(v), leaf_sharding(np.asarray(v)))
+               for k, v in batch.items()}
+        out.update(device_leaves)
+        return out
+    out = dict(device_leaves)
     for k, v in batch.items():
         local = np.asarray(v)
         global_shape = (local.shape[:batch_dim]

@@ -26,11 +26,11 @@ from ..core.config import CRF_LABEL_LIST, Config
 from ..eval.metrics import eval_json
 from ..eval.tagging import classification_report, labels_to_tags, tagging_scores
 from ..nn.bert import BertConfig, xla_attention
-from ..core.mesh import put_global_batch, trainer_meshes
+from ..core.mesh import trainer_meshes
+from .ingest import GuideCache, pack_and_put
 from .optim import build_optimizer
 from .steps import (create_train_state, make_crf_decode_step, make_crf_loss_fn,
                     make_train_step, shard_train_state)
-from .trainer_span import GuideCache, pack_and_put
 
 logger = logging.getLogger(__name__)
 
@@ -90,17 +90,18 @@ class CrfTrainer:
         if cfg.use_prefix and resnet_params is not None and any(
                 d is not None and d.image_store for d in
                 (train_dataset, dev_dataset, test_dataset)):
-            # Device-resident guide table on single-device bf16 runs (see
-            # trainer_span.GuideCache); host path otherwise.
+            # Device-resident guide table on bf16 runs — single-device AND
+            # single-host SPMD meshes (see ingest.GuideCache: the table
+            # replicates over the mesh, the gather emits batch-sharded
+            # arrays); host path for fp32-parity and multi-host runs.
             dev_items = cfg.guide_cache_device_items \
-                if (self.mesh is None and cfg.bf16
-                    and self.process_count == 1) else 0
+                if (cfg.bf16 and self.process_count == 1) else 0
             self.guide_cache = GuideCache(
                 resnet_params, cfg.resnet_depth,
                 max_items=cfg.guide_cache_size,
                 cache_dir=os.path.join(cfg.cache_dir, "guides")
                 if cfg.cache_dir else None,
-                device_items=dev_items)
+                device_items=dev_items, mesh=self.mesh)
         if self.mesh is not None:
             logger.info("SPMD mesh: %s over %d devices (%d processes)",
                         dict(zip(self.mesh.axis_names,
@@ -131,11 +132,12 @@ class CrfTrainer:
             lambda x, s: jax.device_put(np.asarray(x), s),
             self.state.params, sh)
 
-    def _attach_guides(self, batch: Dict, dataset) -> Dict:
+    def _attach_guides(self, batch: Dict, dataset, accum: int = 1) -> Dict:
         if self.guide_cache is None or dataset.image_store is None:
             return batch
         ids = [dataset.features[i].img_id for i in batch["example_index"]]
-        main_g, aux_g = self.guide_cache.batch(ids, dataset.image_store)
+        main_g, aux_g = self.guide_cache.batch(ids, dataset.image_store,
+                                               accum=accum)
         batch = dict(batch)
         batch["main_guides"] = main_g
         batch["aux_guides"] = aux_g
@@ -143,18 +145,18 @@ class CrfTrainer:
 
     def _device_batch(self, batch: Dict, accum: int = 1, mesh=None) -> Dict:
         drop = ("batch_valid", "auxlabel_ids", "example_index")
-        # leaves that are ALREADY device arrays (device-gathered guides)
-        # pass through untouched — np.asarray would download them.
+        # leaves that are ALREADY device arrays (table-gathered guides,
+        # pre-micro-batched and mesh-sharded) pass through untouched —
+        # np.asarray would download them.
         out = {k: v if isinstance(v, jax.Array) else np.asarray(v)
                for k, v in batch.items() if k not in drop}
         if accum > 1:
             # micro-batch leading dim for the scan-accumulated step
-            out = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+            out = {k: v if isinstance(v, jax.Array)
+                   else v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
                    for k, v in out.items()}
-        if mesh is not None:
-            return put_global_batch(out, mesh,
-                                    batch_dim=1 if accum > 1 else 0)
-        return pack_and_put(out)
+        return pack_and_put(out, mesh=mesh,
+                            batch_dim=1 if accum > 1 else 0)
 
     def load_pretrained(self, load_path: str):
         from ..core.checkpoint import load_torch_file
@@ -203,7 +205,8 @@ class CrfTrainer:
                         seed=cfg.seed, epoch=epoch,
                         process_index=self.process_index,
                         process_count=self.process_count):
-                    b = self._attach_guides(b, ds)
+                    b = self._attach_guides(
+                        b, ds, accum=cfg.gradient_accumulation_steps)
                     valid = b.pop("batch_valid")
                     dev = self._device_batch(
                         b, cfg.gradient_accumulation_steps, mesh=self.mesh)

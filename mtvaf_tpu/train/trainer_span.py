@@ -25,218 +25,17 @@ import numpy as np
 
 from ..core.checkpoint import load_best, save_best, transplant
 from ..core.config import Config
-from ..core.mesh import put_global_batch
 from ..eval.metrics import eval_absa
 from ..eval.span_decode import RawFinalResult, batch_eval_candidates
 from ..nn.bert import BertConfig, xla_attention
-from ..nn.models import compute_visual_guides
 from .augment import make_span_augment_fn
+from .ingest import GuideCache, pack_and_put   # noqa: F401 (re-exported)
 from .optim import build_optimizer
 from .steps import (create_train_state, make_classification_step,
                     make_extraction_step, make_span_loss_fn, make_train_step,
                     shard_train_state)
 
 logger = logging.getLogger(__name__)
-
-
-class GuideCache:
-    """Per-image cache of frozen-ResNet stage guides.
-
-    * keyed per (image_store, image_id): each split resolves its aux crops
-      through its OWN aux_map/aux_dir (the reference uses per-split crop
-      dirs/dicts — MTVAF_training.py:321-348);
-    * host RAM is bounded (LRU over ``max_items`` images, ~245 KB each);
-      evicted entries spill to a ``.npy`` disk cache next to the pixel cache
-      (guides are ~600x smaller than the pixels they derive from);
-    * with ``device_items > 0`` a DEVICE-RESIDENT bf16 table holds one row
-      per image in HBM (~123 KB/image) and batches are assembled by an
-      on-device gather: the guides are frozen per-image constants (the
-      model casts them to bf16 at the prefix projector anyway), so after
-      the one-time row insert NO guide bytes ever cross host↔device again.
-      On a latency/bandwidth-bound link (the tunneled axon backend moves
-      ~38 MB/s; per-example guides are 8 MB/batch) this takes the
-      production train loop from upload-bound to step-bound.
-    """
-
-    def __init__(self, resnet_params, depth: int, *, max_items: int = 8192,
-                 cache_dir: Optional[str] = None, device_items: int = 0):
-        from collections import OrderedDict
-        self._guide_fn = jax.jit(
-            lambda imgs, aux: compute_visual_guides(resnet_params, imgs, aux,
-                                                    depth=depth))
-        self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
-        self.max_items = max(int(max_items), 1)
-        self.cache_dir = cache_dir
-        if cache_dir:
-            os.makedirs(cache_dir, exist_ok=True)
-        # device guide table (lazy-allocated at first insert)
-        self.device_items = int(device_items)
-        self._dev_main = None      # (N, 4, C) bf16 on device
-        self._dev_aux = None       # (N, 3, 4, C) bf16 on device
-        self._dev_rows: dict = {}  # key -> row index
-        self._dev_insert = jax.jit(
-            lambda tm, ta, i, rm, ra: (tm.at[i].set(rm), ta.at[i].set(ra)),
-            donate_argnums=(0, 1))
-        self._dev_gather = jax.jit(
-            lambda tm, ta, idx: (jnp.take(tm, idx, axis=0),
-                                 jnp.take(ta, idx, axis=0)))
-
-    def _dev_put(self, key: tuple, value: tuple) -> bool:
-        """Insert one image's guides into the device table; False if full."""
-        if self.device_items <= 0:
-            return False
-        if key in self._dev_rows:
-            return True
-        if len(self._dev_rows) >= self.device_items:
-            return False
-        main, aux = value
-        if self._dev_main is None:
-            self._dev_main = jnp.zeros((self.device_items,) + main.shape,
-                                       jnp.bfloat16)
-            self._dev_aux = jnp.zeros((self.device_items,) + aux.shape,
-                                      jnp.bfloat16)
-        row = len(self._dev_rows)
-        self._dev_main, self._dev_aux = self._dev_insert(
-            self._dev_main, self._dev_aux, row,
-            jnp.asarray(main, jnp.bfloat16), jnp.asarray(aux, jnp.bfloat16))
-        self._dev_rows[key] = row
-        return True
-
-    @staticmethod
-    def _store_key(store) -> str:
-        return f"{store.img_dir}|{store.aux_dir}"
-
-    def _disk_path(self, key: tuple) -> Optional[str]:
-        if not self.cache_dir:
-            return None
-        import hashlib
-        h = hashlib.md5(("|".join(key)).encode()).hexdigest()
-        return os.path.join(self.cache_dir, h + ".npz")
-
-    def _put(self, key: tuple, value: tuple, *, spill: bool = True):
-        self._cache[key] = value
-        self._cache.move_to_end(key)
-        while len(self._cache) > self.max_items:
-            old_key, old_val = self._cache.popitem(last=False)
-            path = self._disk_path(old_key)
-            if spill and path and not os.path.exists(path):
-                np.savez(path, main=old_val[0], aux=old_val[1])
-
-    def _get(self, key: tuple):
-        if key in self._cache:
-            self._cache.move_to_end(key)
-            return self._cache[key]
-        path = self._disk_path(key)
-        if path and os.path.exists(path):
-            with np.load(path) as z:
-                value = (z["main"], z["aux"])
-            self._put(key, value, spill=False)
-            return value
-        return None
-
-    def batch(self, image_ids, store):
-        """Guides for a batch of image ids: (main, aux) arrays.
-
-        Returns DEVICE arrays (bf16, gathered from the resident table) when
-        every id has a table row, host fp32 arrays otherwise."""
-        skey = self._store_key(store)
-        keys = [(skey, i) for i in image_ids]
-        # Hold this call's values locally so LRU eviction mid-batch (when
-        # max_items < unique ids per batch) can never drop a needed entry.
-        local = {}
-        for k in dict.fromkeys(keys):
-            v = self._get(k)
-            if v is not None:
-                local[k] = v
-        missing = [k for k in dict.fromkeys(keys) if k not in local]
-        if missing:
-            main, aux = store.batch([k[1] for k in missing], with_aux=True)
-            # Pad the miss-batch to a power-of-two bucket: the jitted ResNet
-            # guide program compiles once per bucket (≤ log2(bsz) programs)
-            # instead of once per distinct miss count — a cold cache would
-            # otherwise trigger a fresh (minutes-long, remote) XLA compile
-            # for nearly every early batch.
-            n = len(missing)
-            bucket = 1
-            while bucket < n:
-                bucket *= 2
-            if bucket > n:
-                pad = bucket - n
-                main = np.concatenate([main, np.repeat(main[-1:], pad, 0)])
-                aux = np.concatenate([aux, np.repeat(aux[-1:], pad, 0)])
-            mg, ag = self._guide_fn(jnp.asarray(main), jnp.asarray(aux))
-            mg, ag = np.asarray(mg)[:n], np.asarray(ag)[:n]
-            for j, k in enumerate(missing):
-                local[k] = (mg[j], ag[j])
-                self._put(k, local[k])
-        if self.device_items > 0:
-            # ensure a device row per key (one-time ~123 KB bf16 upload each)
-            all_resident = all(self._dev_put(k, local[k]) for k in
-                               dict.fromkeys(keys))
-            if all_resident:
-                idx = jnp.asarray([self._dev_rows[k] for k in keys],
-                                  jnp.int32)
-                return self._dev_gather(self._dev_main, self._dev_aux, idx)
-        main_g = np.stack([local[k][0] for k in keys])
-        aux_g = np.stack([local[k][1] for k in keys])
-        return main_g, aux_g
-
-
-_UNPACK_CACHE: Dict[tuple, object] = {}
-_WIDTH_TYPES = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint64}
-
-
-def pack_and_put(out: Dict) -> Dict:
-    """Single-device batch placement: ONE host→device transfer per batch.
-
-    Every host leaf is serialized into one uint8 buffer; the device runs a
-    single jitted unpack (static slice + bitcast + reshape per leaf,
-    compiled once per batch layout).  On a latency-bound link each
-    host→device transfer pays a full RPC (~25-40 ms through the tunneled
-    axon backend), so per-leaf uploads dominate the train-loop wall; this
-    collapses them to one upload + one dispatch.  Device-array leaves
-    (e.g. table-gathered guides) pass through untouched."""
-    host, placed = [], {}
-    for k, v in out.items():
-        if isinstance(v, jax.Array):
-            placed[k] = v
-        else:
-            host.append((k, v))
-    if not host:
-        return placed
-    if any(v.dtype.itemsize not in _WIDTH_TYPES for _, v in host):
-        placed.update({k: jnp.asarray(v) for k, v in host})   # fallback
-        return placed
-
-    segs, bufs, off = [], [], 0
-    for k, v in host:
-        a = np.ascontiguousarray(v)
-        b = a.view(np.uint8).reshape(-1)
-        segs.append((k, a.dtype.str, a.shape, off, b.nbytes))
-        bufs.append(b)
-        off += b.nbytes
-    layout = tuple(segs)
-
-    unpack = _UNPACK_CACHE.get(layout)
-    if unpack is None:
-        def unpack_fn(big):
-            res = {}
-            for k, dt, shape, o, n in layout:
-                dtype = np.dtype(dt)
-                seg = big[o:o + n]
-                if dtype.itemsize > 1:
-                    seg = jax.lax.bitcast_convert_type(
-                        seg.reshape(-1, dtype.itemsize),
-                        _WIDTH_TYPES[dtype.itemsize])
-                if seg.dtype != dtype:
-                    seg = jax.lax.bitcast_convert_type(seg, dtype) \
-                        if dtype.kind in "fiu" else seg.astype(dtype)
-                res[k] = seg.reshape(shape)
-            return res
-        unpack = _UNPACK_CACHE[layout] = jax.jit(unpack_fn)
-
-    placed.update(unpack(jnp.asarray(np.concatenate(bufs))))
-    return placed
 
 
 class SpanTrainer:
@@ -296,17 +95,21 @@ class SpanTrainer:
                 d is not None and d.image_store for d in
                 (train_dataset, dev_dataset, test_dataset)):
             # The device-resident guide table (bf16 rows gathered on device)
-            # engages on single-device bf16 runs; mesh/multi-host runs and
-            # fp32-parity runs keep the host path (guides shipped per batch).
+            # engages on bf16 runs — single-device AND single-host SPMD
+            # meshes (the table replicates over the mesh; the gather emits
+            # batch-sharded arrays).  fp32-parity runs keep the host path;
+            # multi-host keeps it too (each process sees different images,
+            # so a replicated table cannot be kept consistent without
+            # cross-host guide exchange — the packed per-shard upload still
+            # engages there).
             dev_items = cfg.guide_cache_device_items \
-                if (self.mesh is None and cfg.bf16
-                    and self.process_count == 1) else 0
+                if (cfg.bf16 and self.process_count == 1) else 0
             self.guide_cache = GuideCache(
                 resnet_params, cfg.resnet_depth,
                 max_items=cfg.guide_cache_size,
                 cache_dir=os.path.join(cfg.cache_dir, "guides")
                 if cfg.cache_dir else None,
-                device_items=dev_items)
+                device_items=dev_items, mesh=self.mesh)
 
         self.best_dev_metric = 0.0
         self.best_dev_epoch = None
@@ -330,12 +133,13 @@ class SpanTrainer:
             lambda x, s: jax.device_put(np.asarray(x), s),
             self.state.params, sh)
 
-    def _attach_guides(self, batch: Dict, dataset) -> Dict:
+    def _attach_guides(self, batch: Dict, dataset, accum: int = 1) -> Dict:
         if self.guide_cache is None or dataset.image_store is None:
             return batch
         ids = [dataset.features[i].image_id or ""
                for i in batch["example_index"]]
-        main_g, aux_g = self.guide_cache.batch(ids, dataset.image_store)
+        main_g, aux_g = self.guide_cache.batch(ids, dataset.image_store,
+                                               accum=accum)
         batch = dict(batch)
         batch["main_guides"] = main_g
         batch["aux_guides"] = aux_g
@@ -343,20 +147,20 @@ class SpanTrainer:
 
     def _device_batch(self, batch: Dict, accum: int = 1,
                       mesh=None) -> Dict:
-        # leaves that are ALREADY device arrays (device-gathered guides)
-        # pass through untouched — np.asarray would download them.
-        # example_index is host-side bookkeeping — never shipped.
+        # leaves that are ALREADY device arrays (table-gathered guides, which
+        # arrive pre-micro-batched and mesh-sharded) pass through untouched —
+        # np.asarray would download them.  example_index is host-side
+        # bookkeeping — never shipped.
         drop = ("batch_valid", "example_index")
         out = {k: v if isinstance(v, jax.Array) else np.asarray(v)
                for k, v in batch.items() if k not in drop}
         if accum > 1:
             # micro-batch leading dim for the scan-accumulated step
-            out = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+            out = {k: v if isinstance(v, jax.Array)
+                   else v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
                    for k, v in out.items()}
-        if mesh is not None:
-            return put_global_batch(out, mesh,
-                                    batch_dim=1 if accum > 1 else 0)
-        return pack_and_put(out)
+        return pack_and_put(out, mesh=mesh,
+                            batch_dim=1 if accum > 1 else 0)
 
     # ------------------------------------------------------------------
     def load_pretrained(self, load_path: str):
@@ -405,7 +209,8 @@ class SpanTrainer:
                         seed=cfg.seed, epoch=epoch,
                         process_index=self.process_index,
                         process_count=self.process_count):
-                    b = self._attach_guides(b, ds)
+                    b = self._attach_guides(
+                        b, ds, accum=cfg.gradient_accumulation_steps)
                     valid = b.pop("batch_valid")
                     dev = self._device_batch(
                         b, cfg.gradient_accumulation_steps, mesh=self.mesh)

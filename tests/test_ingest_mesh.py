@@ -1,0 +1,205 @@
+"""The fast ingest path IS the scale path (round-3 unification).
+
+Round-2 verdict weak #1: the device-resident guide table and the packed
+one-transfer batch upload engaged only on single-device runs; SPMD mesh runs
+fell back to per-leaf device_put with guides shipped every batch.  These
+tests pin the unified design: on a 4-way CPU mesh the table + packed path
+engages and trains bit-identically to the host-guide path (reference DDP
+engagement, MTVAF_training.py:301-311,331).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mtvaf_tpu.core.config import Config
+from mtvaf_tpu.core.mesh import make_mesh
+from mtvaf_tpu.data.datasets import CrfDataset
+from mtvaf_tpu.data.synthetic import (make_crf_files, make_images,
+                                      make_vocab_file)
+from mtvaf_tpu.data.tokenization import FullTokenizer
+from mtvaf_tpu.nn.bert import BertConfig
+from mtvaf_tpu.nn.models import init_crf_model_params
+from mtvaf_tpu.nn.resnet import init_resnet_params
+from mtvaf_tpu.train.ingest import GuideCache, pack_and_put
+from mtvaf_tpu.train.trainer_crf import CrfTrainer
+
+
+def _batch(seed=0, b=8):
+    rng = np.random.RandomState(seed)
+    return {
+        "ids": rng.randint(0, 1000, (b, 12)).astype(np.int32),
+        "mask": rng.randint(0, 2, (b, 12)).astype(np.int8),
+        "x": rng.randn(b, 7).astype(np.float32),
+        "y16": rng.randn(b, 3).astype(np.float16),
+        "flag": (rng.rand(b) > 0.5),
+    }
+
+
+def test_pack_and_put_mesh_roundtrip():
+    """Packed upload under a mesh: every leaf bit-exact AND data-sharded."""
+    mesh = make_mesh(data=4, model=1)
+    batch = _batch()
+    out = pack_and_put(dict(batch), mesh=mesh)
+    for k, v in batch.items():
+        np.testing.assert_array_equal(np.asarray(out[k]), v)
+        assert out[k].sharding.spec == P("data")
+
+
+def test_pack_and_put_mesh_accum_dim():
+    """batch_dim=1 (micro-batched leaves (accum, bsz, ...)): shard dim 1."""
+    mesh = make_mesh(data=4, model=1)
+    batch = {k: v.reshape((2, 4) + v.shape[1:]) for k, v in _batch().items()}
+    out = pack_and_put(dict(batch), mesh=mesh, batch_dim=1)
+    for k, v in batch.items():
+        np.testing.assert_array_equal(np.asarray(out[k]), v)
+        assert out[k].sharding.spec == P(None, "data")
+
+
+def test_pack_and_put_mesh_device_leaf_passthrough():
+    mesh = make_mesh(data=4, model=1)
+    dev_leaf = jax.device_put(np.ones((8, 3), np.float32))
+    out = pack_and_put({"host": np.arange(8, dtype=np.int32),
+                        "dev": dev_leaf}, mesh=mesh)
+    assert out["dev"] is dev_leaf
+    np.testing.assert_array_equal(np.asarray(out["host"]), np.arange(8))
+
+
+def test_pack_and_put_indivisible_batch_falls_back():
+    """Leaf batch not divisible by the data axis → per-leaf fallback, still
+    correct."""
+    mesh = make_mesh(data=4, model=1)
+    out = pack_and_put({"x": np.arange(6, dtype=np.int32)}, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(out["x"]), np.arange(6))
+
+
+def test_pack_and_put_int64_without_x64_falls_back():
+    """Advisor round-2 finding: itemsize-8 leaves must not go through the
+    uint64 bitcast when x64 is disabled (uint64 canonicalizes to uint32)."""
+    assert not jax.config.jax_enable_x64
+    v = np.asarray([2**40 + 7, -5, 0], np.int64)
+    out = pack_and_put({"big": v})
+    # jnp.asarray downcasts to int32 under x64-disabled — values preserved
+    # mod 2**32 like every other jnp.asarray ingest; no bitcast corruption.
+    np.testing.assert_array_equal(np.asarray(out["big"]),
+                                  v.astype(np.int32))
+    mesh = make_mesh(data=1, model=1)
+    out = pack_and_put({"big": v.reshape(3, 1)}, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(out["big"]),
+                                  v.reshape(3, 1).astype(np.int32))
+
+
+def test_guide_cache_mesh_gather_sharded(tmp_path):
+    """Table gather under a mesh returns batch-sharded bf16 arrays; with
+    accum > 1 the gather emits the (accum, micro, ...) layout directly
+    (resharding a batch-sharded array into micro-batches would need
+    cross-device moves)."""
+    from mtvaf_tpu.data.images import ImageStore
+
+    mesh = make_mesh(data=4, model=1)
+    img_ids = [f"{100 + i}.jpg" for i in range(4)]
+    img_dir = tmp_path / "imgs"
+    make_images(str(img_dir), img_ids, size=96)
+    store = ImageStore(str(img_dir))
+    resnet_params = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+
+    host = GuideCache(resnet_params, 18, device_items=0)
+    dev = GuideCache(resnet_params, 18, device_items=8, mesh=mesh)
+
+    ids = img_ids + img_ids[::-1]            # 8 rows
+    hm, ha = host.batch(ids, store)
+    dm, da = dev.batch(ids, store)
+    assert isinstance(dm, jax.Array) and dm.dtype == jnp.bfloat16
+    assert dm.sharding.spec == P("data") and da.sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(dm),
+                                  np.asarray(hm, jnp.bfloat16))
+
+    dm2, da2 = dev.batch(ids, store, accum=2)
+    assert dm2.shape[:2] == (2, 4)
+    assert dm2.sharding.spec == P(None, "data")
+    np.testing.assert_array_equal(np.asarray(dm2).reshape(dm.shape),
+                                  np.asarray(dm))
+
+
+def _crf_prefix_trainer(tmp_path, mesh_data, device_items, accum=1):
+    img_ids = [f"{910000 + i}.jpg" for i in range(4)]
+    img_dir = tmp_path / "imgs"
+    if not os.path.isdir(img_dir):
+        make_images(str(img_dir), img_ids, size=96)
+    tsv, anp = tmp_path / "train.txt", tmp_path / "anp.json"
+    if not os.path.exists(tsv):
+        make_crf_files(str(tsv), str(anp), 12, seed=3, num_anp=8,
+                       image_ids=img_ids)
+    vocab = tmp_path / "vocab.txt"
+    if not os.path.exists(vocab):
+        make_vocab_file(str(vocab))
+    tokenizer = FullTokenizer(str(vocab))
+
+    cfg = Config(dataset_name="twitter2015", use_prefix=True, use_18=True,
+                 vao=True, prefix_len=4, num_anp_classes=8, max_seq=24,
+                 train_batch_size=8, eval_batch_size=8, num_epochs=2,
+                 eval_begin_epoch=99, bf16=True, mesh_data=mesh_data,
+                 gradient_accumulation_steps=accum,
+                 guide_cache_device_items=device_items)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = CrfDataset.load(cfg, tokenizer, str(tsv), str(anp),
+                         img_dir=str(img_dir))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet_params = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    return CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                      dev_dataset=ds, test_dataset=ds,
+                      resnet_params=resnet_params)
+
+
+def test_mesh_trainer_engages_table_and_packed_path(tmp_path, monkeypatch):
+    """On a 4-way DP mesh the bf16 run must use the device guide table and
+    the packed per-shard upload — the per-leaf fallback must never fire —
+    and train bit-identically to the host-guide path (same mesh)."""
+    t_host = _crf_prefix_trainer(tmp_path, mesh_data=4, device_items=0)
+    assert t_host.mesh is not None
+    assert t_host.guide_cache.device_items == 0
+    t_host.train()
+
+    t_dev = _crf_prefix_trainer(tmp_path, mesh_data=4, device_items=64)
+    assert t_dev.mesh is not None
+    assert t_dev.guide_cache.device_items > 0    # gating now mesh-inclusive
+
+    # the per-leaf fallback (core.mesh.put_global_batch) must not engage for
+    # train batches: every leaf is either packed or a device-gathered guide
+    import mtvaf_tpu.core.mesh as mesh_mod
+
+    def _boom(*a, **kw):
+        raise AssertionError("per-leaf fallback engaged on the mesh path")
+    monkeypatch.setattr(mesh_mod, "put_global_batch", _boom)
+    t_dev.train()
+    monkeypatch.undo()
+
+    assert len(t_dev.guide_cache._dev_rows) >= 4   # table populated
+    for x, y in zip(jax.tree.leaves(t_host.state.params),
+                    jax.tree.leaves(t_dev.state.params)):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    # eval path on the mesh with the table also runs
+    y_true, y_pred, loss = t_dev._predict(t_dev.dev_dataset)
+    assert np.isfinite(loss)
+
+
+def test_mesh_trainer_table_with_accumulation(tmp_path):
+    """mesh x grad-accum x device table: gather emits (accum, micro) layout,
+    packed upload shards dim 1; run matches the host-guide path bitwise."""
+    t_host = _crf_prefix_trainer(tmp_path, mesh_data=2, device_items=0,
+                                 accum=2)
+    t_host.train()
+    t_dev = _crf_prefix_trainer(tmp_path, mesh_data=2, device_items=64,
+                                accum=2)
+    assert t_dev.mesh is not None and t_dev.guide_cache.device_items > 0
+    t_dev.train()
+    assert len(t_dev.guide_cache._dev_rows) >= 4
+    for x, y in zip(jax.tree.leaves(t_host.state.params),
+                    jax.tree.leaves(t_dev.state.params)):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
