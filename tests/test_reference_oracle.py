@@ -383,3 +383,293 @@ def test_crf_model_prefix_vao_loss_parity_vs_reference(ref, monkeypatch):
     lengths = np.asarray(got["lengths"])
     for i in range(b):
         assert list(tags[i][:lengths[i]]) == ref_tags[i]
+
+
+# ---------------------------------------------------------------------------
+# Training-TRAJECTORY parity (round-3; round-2 verdict missing #2): N
+# optimizer steps of the reference trainer's own semantics — torch AdamW with
+# the param groups of modules/train.py:461-493 / :894-926 and the HF linear
+# warmup of :95-121 — against this framework's build_optimizer + train step,
+# same converted weights, fp32, dropout off.  A lr/group/decay/warmup
+# mismatch shows up as per-step loss drift.
+
+
+def _torch_span_batch(bert_cfg, b=2, s=16, m=4, seed=0):
+    rs = np.random.RandomState(seed)
+    input_ids = rs.randint(0, bert_cfg.vocab_size, (b, s))
+    attn = np.ones((b, s), np.int64)
+    attn[1, -4:] = 0
+    segs = np.zeros((b, s), np.int64)
+    starts = np.zeros((b, s), np.int64)
+    ends = np.zeros((b, s), np.int64)
+    for i in range(b):
+        for _ in range(2):
+            j = rs.randint(0, 10)
+            starts[i, j] = 1
+            ends[i, min(j + rs.randint(0, 3), s - 1)] = 1
+    span_starts = rs.randint(0, 8, (b, m))
+    span_ends = span_starts + rs.randint(0, 4, (b, m))
+    span_labels = rs.randint(0, 4, (b, m))
+    span_masks = (np.arange(m)[None] < np.array([[3], [2]])).astype(np.int64)
+    return dict(input_ids=input_ids, attn=attn, segs=segs, starts=starts,
+                ends=ends, span_starts=span_starts, span_ends=span_ends,
+                span_labels=span_labels, span_masks=span_masks)
+
+
+def test_span_training_trajectory_parity_vs_reference_trainer(
+        ref, monkeypatch):
+    """5 steps of the text-only span pipeline: reference bert_before_train —
+    torch AdamW over all params (wd 1e-2 default) + HF linear warmup stepped
+    after each optimizer step (modules/train.py:461-466,119-120) — must
+    produce the same per-step loss trajectory as build_optimizer +
+    make_train_step."""
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.core.convert import bert_params_from_torch
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.train.optim import build_optimizer
+    from mtvaf_tpu.train.steps import (create_train_state, make_span_loss_fn,
+                                       make_train_step)
+
+    L, h, heads, inter = 8, 32, 4, 64
+    bert_cfg = BertConfig.tiny(hidden_size=h, num_attention_heads=heads,
+                               intermediate_size=inter, num_hidden_layers=L)
+    hf_cfg = transformers.BertConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=h, num_hidden_layers=L,
+        num_attention_heads=heads, intermediate_size=inter,
+        max_position_embeddings=bert_cfg.max_position_embeddings,
+        type_vocab_size=bert_cfg.type_vocab_size)
+    _patch_from_pretrained(monkeypatch, ref, hf_cfg)
+
+    torch.manual_seed(3)
+    model = ref.TVNetSAModel(list(range(15)), tokenizer=None, args=_args())
+    model.eval()                        # grads still flow; dropout off
+
+    n_steps = 5
+    lr, warmup_ratio = 1e-3, 0.4        # warmup 2 of 5 steps, exactly
+    # reference bert_before_train + scheduler (modules/train.py:461-466)
+    opt_t = torch.optim.AdamW(model.parameters(), lr=lr)
+    sched_t = transformers.get_linear_schedule_with_warmup(
+        opt_t, num_warmup_steps=warmup_ratio * n_steps,
+        num_training_steps=n_steps)
+
+    batches = [_torch_span_batch(bert_cfg, seed=10 + k)
+               for k in range(n_steps)]
+    ref_losses = []
+    for bt in batches:
+        opt_t.zero_grad()
+        out = model(
+            input_ids=torch.tensor(bt["input_ids"]),
+            attention_mask=torch.tensor(bt["attn"]),
+            token_type_ids=torch.tensor(bt["segs"]),
+            start_positions=torch.tensor(bt["starts"]),
+            end_positions=torch.tensor(bt["ends"]),
+            span_starts=torch.tensor(bt["span_starts"]),
+            span_ends=torch.tensor(bt["span_ends"]),
+            polarity_labels=torch.tensor(bt["span_labels"]),
+            label_masks=torch.tensor(bt["span_masks"]))
+        ref_losses.append(float(out.loss))
+        out.loss.backward()
+        opt_t.step()                    # modules/train.py:118-120 order
+        sched_t.step()
+
+    cfg = Config(dataset_name="twitter15", bf16=False, max_answer_length=4,
+                 lr=lr, warmup_ratio=warmup_ratio, optimizer_mu_bf16=False)
+    # convert the INITIAL weights (saved before torch stepped)
+    torch.manual_seed(3)
+    model0 = ref.TVNetSAModel(list(range(15)), tokenizer=None, args=_args())
+    params = {
+        "bert": bert_params_from_torch(model0.bert.state_dict(), L),
+        "dense": _dense(model0.dense),
+        "unary_affine": _dense(model0.unary_affine),
+        "binary_affine": _dense(model0.binary_affine),
+        "classifier": _dense(model0.classifier),
+    }
+    optimizer, _ = build_optimizer(params, cfg, total_steps=n_steps,
+                                   pipeline="span")
+    loss_fn = make_span_loss_fn(cfg, bert_cfg)
+    step = make_train_step(loss_fn, optimizer, donate=False)
+    state = create_train_state(params, optimizer)
+
+    got_losses = []
+    with jax.default_matmul_precision("highest"):
+        for bt in batches:
+            batch = {
+                "input_ids": jnp.asarray(bt["input_ids"], jnp.int32),
+                "input_mask": jnp.asarray(bt["attn"], jnp.int32),
+                "segment_ids": jnp.asarray(bt["segs"], jnp.int32),
+                "start_positions": jnp.asarray(bt["starts"], jnp.int32),
+                "end_positions": jnp.asarray(bt["ends"], jnp.int32),
+                "span_starts": jnp.asarray(bt["span_starts"], jnp.int32),
+                "span_ends": jnp.asarray(bt["span_ends"], jnp.int32),
+                "span_labels": jnp.asarray(bt["span_labels"], jnp.int32),
+                "span_masks": jnp.asarray(bt["span_masks"], jnp.int32),
+            }
+            state, metrics = step(state, batch, None)
+            got_losses.append(float(metrics["loss"]))
+
+    # Steps 1-2 are exact: they pin the HF warmup order (lambda(0)=0 → the
+    # first optimizer step moves nothing) and the loss itself.  Later steps
+    # carry Adam's sign-amplification of near-zero gradients (m̂/√v̂ = ±1 at
+    # the first real update, so ~1e-7 fp noise in a tiny-model gradient
+    # flips a ±lr update) — 2e-3 still catches every semantic mismatch
+    # (group lr, schedule shape, step order), which drift by O(lr·steps).
+    np.testing.assert_allclose(got_losses[:2], ref_losses[:2], rtol=1e-5)
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=2e-3)
+    assert not np.allclose(ref_losses[0], ref_losses[1:]), \
+        "trajectory must actually move (lr too small to be a real test)"
+
+
+def test_crf_multimodal_trajectory_parity_vs_reference_trainer(
+        ref, monkeypatch):
+    """5 steps of the full multimodal CRF pipeline: reference
+    multiModal_before_train param groups — 'bert' @ lr, 'encoder_conv' @ lr,
+    'crf'/'fc' @ 5e-2, all wd 1e-2, projectors/ANP heads NOT in the
+    optimizer (modules/train.py:894-926) — + HF warmup, vs build_optimizer
+    (groups_mode='reference') on the same converted weights."""
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.core.convert import bert_params_from_torch
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.nn.models import crf_model_forward
+    from mtvaf_tpu.train.optim import build_optimizer
+    from mtvaf_tpu.train.steps import (create_train_state, make_crf_loss_fn,
+                                       make_train_step)
+
+    bert_cfg = BertConfig.base()
+    hf_cfg = transformers.BertConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072)
+    _patch_from_pretrained(monkeypatch, ref, hf_cfg)
+
+    b, s, n_anp, n_steps = 2, 12, 16, 5
+    lr, warmup_ratio = 5e-4, 0.4
+    rs = np.random.RandomState(7)
+    main_g = rs.randn(b, 4, 3840).astype(np.float32)
+    aux_g = rs.randn(b, 3, 4, 3840).astype(np.float32)
+
+    class StubImageModel(nn.Module):
+        channels = (256, 512, 1024, 2048)
+
+        def forward(self, images, aux_imgs=None):
+            def unpack(g):
+                x = torch.tensor(g).reshape(g.shape[0], -1).reshape(
+                    g.shape[0], 3840, 2, 2)
+                return list(torch.split(x, list(self.channels), dim=1))
+            return unpack(main_g), [unpack(aux_g[:, i]) for i in range(3)]
+
+    monkeypatch.setattr(ref, "ImageModel", lambda *a, **k: StubImageModel())
+
+    torch.manual_seed(5)
+    args = _args(use_prefix=True, use_152=True, vao=True, alpha=0.25, lr=lr)
+    model = ref.TVNetSAModel2(list(range(10)), tokenizer=None, args=args)
+    model.img_classifier = nn.Linear(6144, n_anp)
+    model.aux_img_classifier = nn.ModuleList(
+        [nn.Linear(6144, n_anp) for _ in range(3)])
+    model.eval()
+
+    # multiModal_before_train verbatim (modules/train.py:894-926)
+    parameters = []
+    g1 = {"lr": lr, "weight_decay": 1e-2, "params": [
+        p for n, p in model.named_parameters() if "bert" in n]}
+    parameters.append(g1)
+    g2 = {"lr": lr, "weight_decay": 1e-2, "params": [
+        p for n, p in model.named_parameters()
+        if "encoder_conv" in n or "gates" in n]}
+    parameters.append(g2)
+    g3 = {"lr": 5e-2, "weight_decay": 1e-2, "params": [
+        p for n, p in model.named_parameters()
+        if "crf" in n or n.startswith("fc")]}
+    parameters.append(g3)
+    opt_t = torch.optim.AdamW(parameters)
+    sched_t = transformers.get_linear_schedule_with_warmup(
+        opt_t, num_warmup_steps=warmup_ratio * n_steps,
+        num_training_steps=n_steps)
+
+    def make_inputs(k):
+        r = np.random.RandomState(20 + k)
+        return dict(
+            input_ids=r.randint(0, bert_cfg.vocab_size, (b, s)),
+            attn=np.where(np.arange(s)[None] < [[s], [s - 3]], 1, 0),
+            segs=np.zeros((b, s), np.int64),
+            labels=r.randint(1, 11, (b, s)),
+            imagelabel=r.dirichlet(np.ones(n_anp), size=b).astype(np.float32))
+
+    batches = [make_inputs(k) for k in range(n_steps)]
+    ref_losses = []
+    for bt in batches:
+        opt_t.zero_grad()
+        out = model(
+            input_ids=torch.tensor(bt["input_ids"]),
+            attention_mask=torch.tensor(bt["attn"]),
+            token_type_ids=torch.tensor(bt["segs"]),
+            labels=torch.tensor(bt["labels"]),
+            imagelabel=torch.tensor(bt["imagelabel"]),
+            images=torch.zeros(b, 3, 224, 224),
+            aux_imgs=torch.zeros(b, 3, 3, 224, 224))
+        ref_losses.append(float(out.loss))
+        out.loss.backward()
+        opt_t.step()
+        sched_t.step()
+
+    # rebuild + convert the initial weights
+    torch.manual_seed(5)
+    model0 = ref.TVNetSAModel2(list(range(10)), tokenizer=None, args=args)
+    model0.img_classifier = nn.Linear(6144, n_anp)
+    model0.aux_img_classifier = nn.ModuleList(
+        [nn.Linear(6144, n_anp) for _ in range(3)])
+    # the second manual_seed replays the SAME init draws for the shrunken
+    # ANP heads as the first build, so model0 == model's starting point
+    params = {
+        "bert": bert_params_from_torch(model0.bert.state_dict(), 12),
+        "fc": _dense(model0.fc),
+        "crf": {
+            "start": jnp.asarray(_t(model0.crf.start_transitions)),
+            "end": jnp.asarray(_t(model0.crf.end_transitions)),
+            "transitions": jnp.asarray(_t(model0.crf.transitions)),
+        },
+        "prefix": {
+            "conv_in": _dense(model0.encoder_conv[0]),
+            "conv_out": _dense(model0.encoder_conv[2]),
+            "projectors": {
+                "kernel": jnp.stack(
+                    [jnp.asarray(_t(p.weight).T) for p in model0.projectors]),
+                "bias": jnp.stack(
+                    [jnp.asarray(_t(p.bias)) for p in model0.projectors]),
+            },
+            "img_classifier": _dense(model0.img_classifier),
+            "aux_img_classifiers": jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[_dense(m) for m in model0.aux_img_classifier]),
+        },
+    }
+
+    cfg = Config(dataset_name="twitter2015", use_prefix=True, use_152=True,
+                 vao=True, num_anp_classes=n_anp, bf16=False, alpha=0.25,
+                 lr=lr, warmup_ratio=warmup_ratio, optimizer_mu_bf16=False)
+    optimizer, _ = build_optimizer(params, cfg, total_steps=n_steps,
+                                   pipeline="crf", groups_mode="reference")
+    loss_fn = make_crf_loss_fn(cfg, bert_cfg)
+    step = make_train_step(loss_fn, optimizer, donate=False)
+    state = create_train_state(params, optimizer)
+
+    got_losses = []
+    with jax.default_matmul_precision("highest"):
+        for bt in batches:
+            batch = {
+                "input_ids": jnp.asarray(bt["input_ids"], jnp.int32),
+                "input_mask": jnp.asarray(bt["attn"], jnp.int32),
+                "segment_ids": jnp.asarray(bt["segs"], jnp.int32),
+                "label_ids": jnp.asarray(bt["labels"], jnp.int32),
+                "imagelabel": jnp.asarray(bt["imagelabel"]),
+                "main_guides": jnp.asarray(main_g),
+                "aux_guides": jnp.asarray(aux_g),
+            }
+            state, metrics = step(state, batch, None)
+            got_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-4)
+    assert not np.allclose(ref_losses[0], ref_losses[1:])
+    # projectors must be frozen under reference grouping (the reference's
+    # group collection never matches 'projectors')
+    np.testing.assert_array_equal(
+        np.asarray(state.params["prefix"]["projectors"]["kernel"]),
+        np.asarray(params["prefix"]["projectors"]["kernel"]))
