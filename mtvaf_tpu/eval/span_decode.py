@@ -205,7 +205,9 @@ def eval_span_candidates(example, feature, start_logits: Sequence[float],
     span_starts, span_ends, labels, label_masks = [], [], [], []
     i = 0
     while i < len(prelim):
-        if len(span_starts) >= n_best_size // 2:
+        # float division like the reference (models/utils.py:493): for odd
+        # n_best_size the cap is ceil(n/2), not floor.
+        if len(span_starts) >= n_best_size / 2:
             break
         pred_i = prelim[i]
         final_text = span_text(pred_i)

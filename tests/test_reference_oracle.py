@@ -673,3 +673,116 @@ def test_crf_multimodal_trajectory_parity_vs_reference_trainer(
     np.testing.assert_array_equal(
         np.asarray(state.params["prefix"]["projectors"]["kernel"]),
         np.asarray(params["prefix"]["projectors"]["kernel"]))
+
+
+# ---------------------------------------------------------------------------
+# Eval-branch span-decode parity vs the reference's OWN
+# span_annotate_candidates (round-3; round-2 verdict missing #3): identical
+# random logits through /root/reference/models/utils.py:417-538 and
+# eval_span_candidates must yield identical candidate lists — order included —
+# across every filter_type / use_heuristics / use_nms combination.  This
+# function decides the reported F1; tie-break and NMS revisit order are
+# pinned code-vs-code here.
+
+
+@pytest.fixture(scope="module")
+def ref_utils(ref):
+    """Import the reference models.utils (needs a torchvision.transforms
+    attribute at import time; its image code is never called here)."""
+    if "models.utils" in sys.modules:
+        return sys.modules["models.utils"]
+    sys.modules["torchvision"].transforms = types.SimpleNamespace()
+    import models.utils as ru
+    return ru
+
+
+@pytest.fixture(scope="module")
+def span_fixture(tmp_path_factory):
+    """Synthetic span examples/features through OUR data pipeline (attribute
+    surface matches the reference's InputFeatures where span_annotate_candidates
+    reads it: tokens, token_to_orig_map, unique_id, example_index, gold
+    indexes)."""
+    import os as _os
+
+    from mtvaf_tpu.data.features import (convert_absa_examples,
+                                         convert_examples_to_features)
+    from mtvaf_tpu.data.readers import read_absa_data
+    from mtvaf_tpu.data.synthetic import make_span_file, make_vocab_file
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+
+    d = tmp_path_factory.mktemp("span_oracle")
+    make_vocab_file(_os.path.join(d, "vocab.txt"))
+    make_span_file(_os.path.join(d, "train.txt"), 8, seed=11, max_len=14)
+    tok = FullTokenizer(_os.path.join(d, "vocab.txt"))
+    examples = convert_absa_examples(read_absa_data(_os.path.join(d, "train.txt")))
+    features = convert_examples_to_features(examples, tok, 32)
+    return examples, features
+
+
+@pytest.mark.parametrize("filter_type,use_heuristics,use_nms", [
+    ("f1", True, True),      # reference defaults
+    ("f1", True, False),
+    ("f1", False, True),
+    ("em", True, True),
+    ("em", False, False),
+])
+def test_eval_span_decode_parity_vs_reference(ref_utils, span_fixture,
+                                              filter_type, use_heuristics,
+                                              use_nms):
+    import logging as _logging
+
+    from mtvaf_tpu.eval.span_decode import eval_span_candidates
+
+    examples, features = span_fixture
+    log = _logging.getLogger("oracle")
+    rs = np.random.RandomState(42)
+    for n_best_size in (8, 7):           # even AND odd (float-div cap)
+        for feature in features:
+            L = 32
+            # quantized logits force ties → pins stable-sort tie order; scale
+            # and threshold chosen so some pairs pass and some fail the gate
+            start_logits = np.round(rs.randn(L) * 4, 1).tolist()
+            end_logits = np.round(rs.randn(L) * 4, 1).tolist()
+            result = ref_utils.RawSpanResult(
+                unique_id=feature.unique_id, start_logits=start_logits,
+                end_logits=end_logits)
+            r_starts, r_ends, r_labels, r_masks = \
+                ref_utils.span_annotate_candidates(
+                    examples, [feature], [result], filter_type, "eval",
+                    use_heuristics, use_nms, 2.0, n_best_size, 4, True,
+                    False, log)
+            g_starts, g_ends, g_labels, g_masks = eval_span_candidates(
+                examples[feature.example_index], feature, start_logits,
+                end_logits, filter_type=filter_type,
+                use_heuristics=use_heuristics, use_nms=use_nms,
+                logit_threshold=2.0, n_best_size=n_best_size,
+                max_answer_length=4, do_lower_case=True)
+            assert g_starts == r_starts[0]
+            assert g_ends == r_ends[0]
+            assert g_labels == r_labels[0]
+            assert g_masks == r_masks[0]
+
+
+def test_train_span_decode_parity_vs_reference(ref_utils, span_fixture):
+    """Train branch: gold_span_candidates (precomputed in our data pipeline)
+    == the reference's mode='train' branch (models/utils.py:436-449)."""
+    import logging as _logging
+
+    from mtvaf_tpu.eval.span_decode import gold_span_candidates
+
+    examples, features = span_fixture
+    log = _logging.getLogger("oracle")
+    for feature in features:
+        result = ref_utils.RawSpanResult(
+            unique_id=feature.unique_id, start_logits=[0.0] * 32,
+            end_logits=[0.0] * 32)
+        r_starts, r_ends, r_labels, r_masks = \
+            ref_utils.span_annotate_candidates(
+                examples, [feature], [result], "f1", "train", True, True,
+                8.0, 8, 4, True, False, log)
+        g_starts, g_ends, g_labels, g_masks = gold_span_candidates(
+            examples[feature.example_index], feature, 8, True)
+        assert g_starts == r_starts[0]
+        assert g_ends == r_ends[0]
+        assert g_labels == r_labels[0]
+        assert g_masks == r_masks[0]
