@@ -146,7 +146,9 @@ def make_train_step(loss_fn: Callable, optimizer, *,
             return grads_acc, metrics
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        rngs = jax.random.split(rng, accum_steps)
+        # rng=None (deterministic eval/parity runs): None is an empty pytree,
+        # so scan passes it through to every micro-step unchanged.
+        rngs = jax.random.split(rng, accum_steps) if rng is not None else None
         grads, stacked = jax.lax.scan(micro, zero_grads, (batch, rngs))
         grads = jax.tree.map(lambda g: g / accum_steps, grads)
         new_state = apply(state, grads)

@@ -135,28 +135,43 @@ def test_tp_step_runs(setup):
                                rtol=1e-4)
 
 
-def test_grad_accumulation_matches_large_batch(setup):
-    """accum_steps=2 over half-batches ≈ one step over the full batch (same
-    total gradient; losses averaged)."""
+def test_grad_accumulation_exact_identity(setup):
+    """The scan-accumulated step applies EXACTLY the mean of the per-micro-
+    batch gradients (fp32, no dropout): reproduce the update by computing
+    jax.grad per micro-batch, averaging, and pushing through the same
+    optimizer — resulting params must agree to float-roundoff (a 2x scaling
+    bug would diverge by ~lr >> tolerance).  Loss metric must equal the mean
+    of per-micro losses exactly."""
     cfg, bert_cfg, params = setup
     optimizer, _ = build_optimizer(params, cfg, total_steps=10, pipeline="crf")
     loss_fn = make_crf_loss_fn(cfg, bert_cfg)
     batch = make_batch(cfg, bert_cfg, b=8, seed=3)
-
-    step1 = make_train_step(loss_fn, optimizer, donate=False)
-    s1 = create_train_state(params, optimizer)
-    s1, m1 = step1(s1, batch, None)
+    micro = {k: v.reshape((2, 4) + v.shape[1:]) for k, v in batch.items()}
 
     step2 = make_train_step(loss_fn, optimizer, accum_steps=2, donate=False)
-    micro = {k: v.reshape((2, 4) + v.shape[1:]) for k, v in batch.items()}
     s2 = create_train_state(params, optimizer)
-    s2, m2 = step2(s2, micro, jax.random.PRNGKey(0))
-    # CRF 'mean' reduction averages within micro-batch; allow small diff from
-    # batch-size-dependent normalization of the mean reduction.
-    assert np.isfinite(float(m2["loss"]))
-    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
-        # parameters move in the same direction with similar magnitude
-        assert np.allclose(np.asarray(x), np.asarray(y), atol=5e-3)
+    s2, m2 = step2(s2, micro, None)
+
+    # reference: mean of standalone per-micro gradients through the same
+    # optimizer (identical opt state, identical params)
+    grad_fn = jax.jit(jax.grad(lambda p, b: loss_fn(p, b, None)[0]))
+    micro_batches = [{k: v[i] for k, v in micro.items()} for i in range(2)]
+    losses, grads = [], []
+    for mb in micro_batches:
+        losses.append(float(jax.jit(loss_fn)(params, mb, None)[0]))
+        grads.append(grad_fn(params, mb))
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    s_ref = create_train_state(params, optimizer)
+    updates, _ = optimizer.update(g_mean, s_ref.opt_state, s_ref.params)
+    params_ref = jax.tree.map(lambda p, u: p + u, s_ref.params, updates)
+
+    np.testing.assert_allclose(float(m2["loss"]), np.mean(losses), rtol=1e-6)
+    for (path, y), x in zip(
+            jax.tree_util.tree_flatten_with_path(s2.params)[0],
+            jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=1e-6, atol=1e-7,
+            err_msg=f"accumulated update diverges at {path}")
 
 
 def test_opt_state_follows_param_sharding(setup):
