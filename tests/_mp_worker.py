@@ -1,0 +1,79 @@
+"""Worker for the real multi-process SPMD test (tests/test_multiprocess.py).
+
+Run as: python _mp_worker.py <coordinator> <num_processes> <process_id>
+<data_dir> — forces the CPU platform with 2 virtual devices, joins the
+jax.distributed cluster, trains one CrfTrainer epoch on a shared 4-device
+mesh, and prints one JSON line with the resulting losses/params digest.
+
+With num_processes=1 (and 4 virtual devices) it doubles as the
+single-process baseline producing the same global mesh.
+"""
+
+import json
+import os
+import sys
+
+
+def main(coordinator: str, num_processes: int, process_id: int,
+         data_dir: str) -> None:
+    n_local = 4 // num_processes
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_local}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    assert jax.process_count() == num_processes
+    assert len(jax.devices()) == 4
+
+    import numpy as np
+
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.data.datasets import CrfDataset
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.nn.models import init_crf_model_params
+    from mtvaf_tpu.train.trainer_crf import CrfTrainer
+
+    tokenizer = FullTokenizer(os.path.join(data_dir, "vocab.txt"))
+    cfg = Config(dataset_name="twitter2015", max_seq=24, train_batch_size=8,
+                 eval_batch_size=8, num_epochs=1, eval_begin_epoch=99,
+                 bf16=False, num_anp_classes=8, lr=1e-3, mesh_data=4,
+                 seed=13)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = CrfDataset.load(cfg, tokenizer, os.path.join(data_dir, "train.txt"),
+                         os.path.join(data_dir, "anp.json"))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                         dev_dataset=ds, test_dataset=ds)
+
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 4
+    if num_processes > 1:
+        # the global train mesh spans processes; eval gets a host-local mesh
+        assert any(d.process_index != jax.process_index()
+                   for d in trainer.mesh.devices.flat)
+        assert all(d.process_index == jax.process_index()
+                   for d in trainer.eval_mesh.devices.flat)
+
+    trainer.train()
+
+    # dev prediction through the (host-local on multi-process) eval mesh
+    y_true, y_pred, dev_loss = trainer._predict(trainer.dev_dataset)
+    digest = float(sum(np.abs(np.asarray(x, np.float64)).sum()
+                       for x in jax.tree.leaves(trainer.state.params)))
+    first_leaf = np.asarray(jax.tree.leaves(trainer.state.params)[0])
+    print("MPRESULT " + json.dumps({
+        "process_id": process_id,
+        "step": int(trainer.state.step),
+        "dev_loss": float(dev_loss),
+        "params_digest": digest,
+        "first_leaf_sum": float(first_leaf.astype(np.float64).sum()),
+        "y_pred": y_pred,
+    }))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
