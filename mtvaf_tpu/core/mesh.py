@@ -95,6 +95,45 @@ def put_global_batch(batch: dict, mesh: Mesh, batch_dim: int = 0) -> dict:
     return out
 
 
+def cross_host_sum(values, mesh: Mesh) -> np.ndarray:
+    """Sum a small host vector across processes (host-level all-reduce).
+
+    Single-process: identity.  Multi-process: each process contributes its
+    vector once via a 'data'-sharded scratch array and one jitted replicated
+    reduction — the SPMD replacement for an MPI/NCCL host gather when
+    combining per-host metric counts (reference DDP leaves train metrics
+    rank-local).  float32 is exact for counts < 2^24."""
+    values = np.asarray(values, np.float32)
+    if jax.process_count() == 1:
+        return values
+    D = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    procs = jax.process_count()
+    if D % procs != 0:
+        raise ValueError(f"data axis {D} not divisible by {procs} processes")
+    local = np.zeros((D // procs,) + values.shape, np.float32)
+    local[0] = values
+    sh = NamedSharding(mesh, P("data"))
+    g = jax.make_array_from_process_local_data(sh, local, (D,) + values.shape)
+    summed = jax.jit(lambda x: x.sum(0),
+                     out_shardings=NamedSharding(mesh, P()))(g)
+    return np.asarray(summed)
+
+
+def local_batch_rows(x) -> np.ndarray:
+    """Host copy of THIS process's rows of a batch-sharded global array.
+
+    ``np.asarray`` on a multi-host global array raises (non-addressable
+    shards); this gathers the addressable shards in batch order, collapsing
+    model-axis replicas (same index → same rows)."""
+    if all(d.process_index == jax.process_index() for d in x.sharding.device_set):
+        return np.asarray(x)
+    shards = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start if s.index and s.index[0].start else 0
+        shards[start] = s.data
+    return np.concatenate([np.asarray(shards[k]) for k in sorted(shards)])
+
+
 def batch_spec(tree) -> object:
     """PartitionSpec tree sharding every leaf's leading dim over 'data'."""
     return jax.tree.map(lambda x: P("data"), tree)

@@ -23,15 +23,22 @@ def metric_max_over_ground_truths(metric_fn, term, polarity, gold_terms,
 
 
 def eval_absa(all_examples, all_features, all_results: Sequence[RawFinalResult],
-              do_lower_case: bool) -> Tuple[Dict, Dict]:
+              do_lower_case: bool, *, allow_missing: bool = False
+              ) -> Tuple[Dict, Dict]:
     """Exact-match micro P/R/F1 over (term, polarity) pairs + per-example
-    nbest JSON (reference modules/eval_metrics.py:89-124)."""
+    nbest JSON (reference modules/eval_metrics.py:89-124).
+
+    ``allow_missing`` scores only features that have a result — used by
+    multi-host training, where each process holds predictions for its own
+    batch rows and the counts are cross-host summed afterwards."""
     unique_id_to_result = {r.unique_id: r for r in all_results}
 
     all_nbest_json = collections.OrderedDict()
     common, relevant, retrieved = 0.0, 0.0, 0.0
     for feature in all_features:
         example = all_examples[feature.example_index]
+        if allow_missing and feature.unique_id not in unique_id_to_result:
+            continue
         result = unique_id_to_result[feature.unique_id]
 
         pred_terms, pred_polarities = [], []

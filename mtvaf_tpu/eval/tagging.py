@@ -44,9 +44,10 @@ def precision_recall_f1(n_correct: float, n_pred: float, n_gold: float):
     return p, r, f1
 
 
-def tagging_scores(y_true: Sequence[Sequence[str]],
-                   y_pred: Sequence[Sequence[str]]) -> Dict:
-    """Entity-level micro/macro P/R/F1 + per-type breakdown."""
+def entity_counts(y_true: Sequence[Sequence[str]],
+                  y_pred: Sequence[Sequence[str]]) -> Dict:
+    """Per-entity-type correct/pred/gold counts — the additive sufficient
+    statistics of the seqeval scores (summable across hosts)."""
     per_type = defaultdict(lambda: {"correct": 0, "pred": 0, "gold": 0})
     for true_seq, pred_seq in zip(y_true, y_pred):
         gold = set(extract_entities(true_seq))
@@ -57,8 +58,18 @@ def tagging_scores(y_true: Sequence[Sequence[str]],
             per_type[e[0]]["pred"] += 1
         for e in gold & pred:
             per_type[e[0]]["correct"] += 1
+    return per_type
 
-    types = sorted(per_type)
+
+def tagging_scores(y_true: Sequence[Sequence[str]],
+                   y_pred: Sequence[Sequence[str]]) -> Dict:
+    """Entity-level micro/macro P/R/F1 + per-type breakdown."""
+    return scores_from_counts(entity_counts(y_true, y_pred))
+
+
+def scores_from_counts(per_type: Dict) -> Dict:
+    types = sorted(t for t in per_type
+                   if any(per_type[t][k] for k in ("correct", "pred", "gold")))
     report_rows = {}
     micro = {"correct": 0, "pred": 0, "gold": 0}
     macro_p = macro_r = macro_f = 0.0

@@ -24,7 +24,9 @@ import numpy as np
 from ..core.checkpoint import load_best, save_best, transplant
 from ..core.config import CRF_LABEL_LIST, Config
 from ..eval.metrics import eval_json
-from ..eval.tagging import classification_report, labels_to_tags, tagging_scores
+from ..eval.tagging import (classification_report, entity_counts,
+                            labels_to_tags, scores_from_counts,
+                            tagging_scores)
 from ..nn.bert import BertConfig, xla_attention
 from ..core.mesh import trainer_meshes
 from .ingest import GuideCache, pack_and_put
@@ -115,6 +117,7 @@ class CrfTrainer:
         self.best_test_epoch = None
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.last_throughput = 0.0
+        self.last_train_f1 = None
 
     # ------------------------------------------------------------------
     def _shard_state(self):
@@ -164,6 +167,19 @@ class CrfTrainer:
         self.state = self.state._replace(
             params=transplant(self.state.params, source))
         self._shard_state()
+
+    def _cross_host_counts(self, counts):
+        """Sum per-host entity counts over all processes (fixed type
+        inventory from the label list so every host reduces the same
+        vector)."""
+        from ..core.mesh import cross_host_sum
+        types = sorted({lab[2:] for lab in CRF_LABEL_LIST
+                        if lab[:2] in ("B-", "I-")})
+        vec = np.asarray([[counts[t][k] for k in ("correct", "pred", "gold")]
+                          for t in types], np.float32)
+        vec = cross_host_sum(vec, self.mesh)
+        return {t: {"correct": int(row[0]), "pred": int(row[1]),
+                    "gold": int(row[2])} for t, row in zip(types, vec)}
 
     # ------------------------------------------------------------------
     def train(self):
@@ -224,13 +240,14 @@ class CrfTrainer:
                                   metrics.get("grad_norm")))
                 n_examples += int(valid.sum())
 
-                if self.collect_train_metrics and "pred_tags" in metrics \
-                        and self.process_count == 1:
+                if self.collect_train_metrics and "pred_tags" in metrics:
                     # Viterbi ran inside the train program (fused decode);
-                    # tags stay on device until the pooled epoch-end fetch.
-                    # Guides (possibly device-resident) are dropped from the
-                    # record — holding them for a whole epoch would pin
-                    # O(steps) HBM.
+                    # tags stay on device until the pooled epoch-end fetch
+                    # (multi-host: each process fetches only ITS rows and the
+                    # entity counts are cross-host summed below).  Guides
+                    # (possibly device-resident) are dropped from the record
+                    # — holding them for a whole epoch would pin O(steps)
+                    # HBM.
                     rec = {k: v for k, v in batch.items()
                            if k not in ("main_guides", "aux_guides")}
                     step_records.append((rec, valid,
@@ -246,11 +263,15 @@ class CrfTrainer:
             tags_np = []
             if step_records:
                 # fetch all step tags with overlapped RPCs (device→host
-                # round-trips would otherwise serialize at ~25 ms each)
+                # round-trips would otherwise serialize at ~25 ms each);
+                # local_batch_rows == np.asarray on addressable arrays and
+                # extracts this process's rows on multi-host global arrays
                 from concurrent.futures import ThreadPoolExecutor
+
+                from ..core.mesh import local_batch_rows
                 with ThreadPoolExecutor(max_workers=4) as fetcher:
                     tags_np = list(fetcher.map(
-                        np.asarray, [t for _, _, t in step_records]))
+                        local_batch_rows, [t for _, _, t in step_records]))
             for (batch, valid, _), tags in zip(step_records, tags_np):
                 yt, yp = labels_to_tags(
                     batch["label_ids"], batch["input_mask"],
@@ -262,9 +283,17 @@ class CrfTrainer:
 
             dt = time.time() - t0
             self.last_throughput = n_examples / dt if dt > 0 else 0.0
-            if y_true:
-                scores = tagging_scores(y_true, y_pred)
+            counts = entity_counts(y_true, y_pred)
+            if self.process_count > 1 and self.mesh is not None \
+                    and self.collect_train_metrics:
+                # combine per-host entity counts into GLOBAL train metrics
+                # (one host-level all-reduce; the reference's DDP instead
+                # reports rank-local train F1)
+                counts = self._cross_host_counts(counts)
+            if any(any(c.values()) for c in counts.values()):
+                scores = scores_from_counts(counts)
                 f1 = scores["micro"]["f1"]
+                self.last_train_f1 = f1
                 logger.info("epoch %d train loss %.5f f1 %.4f (%.1f ex/s)",
                             epoch, epoch_loss / max(n_steps, 1), f1,
                             self.last_throughput)

@@ -115,6 +115,7 @@ class SpanTrainer:
         self.best_dev_epoch = None
         self.best_test_metric = 0.0
         self.best_test_epoch = None
+        self.last_train_f1 = None
         self.rng = jax.random.PRNGKey(cfg.seed)
 
     # ------------------------------------------------------------------
@@ -227,16 +228,15 @@ class SpanTrainer:
                 loss_devs.append((metrics["loss"],
                                   metrics.get("grad_norm")))
                 n_examples += int(valid.sum())
-                if self.process_count == 1:
-                    # multi-host: per-example logits span processes and are
-                    # not host-fetchable; train metrics are single-host only.
-                    # Guides (possibly device-resident, ~4 MB/batch) are not
-                    # needed for metrics — holding them for a whole epoch
-                    # would pin O(steps) HBM.
-                    rec = {k: v for k, v in batch.items()
-                           if k not in ("main_guides", "aux_guides")}
-                    step_records.append((rec, valid,
-                                         metrics.get("ac_logits")))
+                # Guides (possibly device-resident, ~4 MB/batch) are not
+                # needed for metrics — holding them for a whole epoch would
+                # pin O(steps) HBM.  Multi-host: each process fetches only
+                # ITS rows of the logits and the match counts are
+                # cross-host summed below.
+                rec = {k: v for k, v in batch.items()
+                       if k not in ("main_guides", "aux_guides")}
+                step_records.append((rec, valid,
+                                     metrics.get("ac_logits")))
 
             n_steps = len(loss_devs)
             epoch_loss = float(np.sum([np.asarray(l) for l, _ in loss_devs]))
@@ -252,9 +252,12 @@ class SpanTrainer:
             ac_np = []
             if step_records:
                 from concurrent.futures import ThreadPoolExecutor
+
+                from ..core.mesh import local_batch_rows
                 with ThreadPoolExecutor(max_workers=4) as fetcher:
                     ac_np = list(fetcher.map(
-                        lambda t: np.asarray(t) if t is not None else None,
+                        lambda t: local_batch_rows(t) if t is not None
+                        else None,
                         [r[2] for r in step_records]))
             all_results = []
             for (batch, valid, _), ac in zip(step_records, ac_np):
@@ -272,10 +275,27 @@ class SpanTrainer:
                         cls_pred=list(cls),
                         span_masks=list(batch["span_masks"][j_idx])))
 
-            metrics_out, nbest = eval_absa(ds.examples, ds.features,
-                                           all_results, cfg.do_lower_case)
+            metrics_out, nbest = eval_absa(
+                ds.examples, ds.features, all_results, cfg.do_lower_case,
+                allow_missing=self.process_count > 1)
+            if self.process_count > 1 and self.mesh is not None:
+                # global train metrics from per-host match counts (one
+                # host-level all-reduce; the reference's DDP reports
+                # rank-local train F1 instead)
+                from ..core.mesh import cross_host_sum
+                c, rt, rl = map(float, cross_host_sum(
+                    np.asarray([metrics_out["common"],
+                                metrics_out["retrieved"],
+                                metrics_out["relevant"]]), self.mesh))
+                p = c / rt if rt > 0 else 0.0
+                r = c / rl if rl > 0 else 0.0
+                metrics_out = {
+                    "p": p, "r": r,
+                    "f1": 2 * p * r / (p + r) if p > 0 and r > 0 else 0.0,
+                    "common": c, "retrieved": rt, "relevant": rl}
             # per-epoch throughput (matches CrfTrainer; a cumulative rate
             # buries the steady state under epoch-1 compile time)
+            self.last_train_f1 = metrics_out["f1"]
             logger.info("epoch %d train loss %.5f f1 %.4f (%.1f ex/s)",
                         epoch, epoch_loss / max(n_steps, 1),
                         metrics_out["f1"],
@@ -284,7 +304,9 @@ class SpanTrainer:
                 self.writer.add_scalar("train_loss",
                                        epoch_loss / max(n_steps, 1), epoch)
                 self.writer.add_scalar("train_f1", metrics_out["f1"], epoch)
-            if cfg.save_path:
+            if cfg.save_path and self.process_index == 0:
+                # multi-host: process 0's rows only (PARITY.md deviation
+                # #12); train F1 above is still global
                 self._write_json(nbest, "train_predictions.json")
             if epoch >= cfg.eval_begin_epoch:
                 self.evaluate(epoch)

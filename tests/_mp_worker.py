@@ -71,6 +71,7 @@ def main(coordinator: str, num_processes: int, process_id: int,
         "dev_loss": float(dev_loss),
         "params_digest": digest,
         "first_leaf_sum": float(first_leaf.astype(np.float64).sum()),
+        "train_f1": trainer.last_train_f1,   # cross-host-summed counts
         "y_pred": y_pred,
     }))
 
