@@ -71,12 +71,18 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     ex_per_sec = MEASURE_STEPS * BATCH / best_dt
-    print(json.dumps({
+    from mtvaf_tpu.core.flops import mfu_fields
+    out = {
         "metric": "train_examples_per_sec_per_chip",
         "value": round(ex_per_sec, 2),
         "unit": "examples/s",
         "vs_baseline": round(ex_per_sec / REFERENCE_EST_EXAMPLES_PER_SEC, 2),
-    }))
+    }
+    # achieved TFLOP/s + % of chip bf16 peak (static model FLOPs): makes
+    # utilization regressions visible independently of batch/seq choices
+    out.update(mfu_fields(bert_cfg, SEQ, ex_per_sec,
+                          prefix_len=16 if cfg.use_prefix else 0))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -181,11 +181,16 @@ def main():
     from mtvaf_tpu.nn.bert import BertConfig
     configure_tpu_defaults()
 
+    from mtvaf_tpu.core.flops import mfu_fields
+
     rows = []
 
-    def record(name, desc, value, unit="examples/s"):
+    def record(name, desc, value, unit="examples/s", mfu=None):
         row = {"config": name, "desc": desc, "value": round(value, 2),
                "unit": unit}
+        if mfu is not None:   # (bert_cfg, seq, prefix_len) for train rows
+            bc_, s_, pl_ = mfu
+            row.update(mfu_fields(bc_, s_, value, prefix_len=pl_))
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -194,7 +199,8 @@ def main():
     bc = BertConfig.base()
     record("c1_text_span",
            "BERT-base text-only span ABSA, b32 s128",
-           _time_train(cfg, bc, _span_batch(cfg, bc, BATCH, 128), "span"))
+           _time_train(cfg, bc, _span_batch(cfg, bc, BATCH, 128), "span"),
+           mfu=(bc, 128, 0))
 
     # 1b. The span EVAL loop (extraction -> host top-k/NMS -> classification).
     cfg_eval = Config(dataset_name="twitter15", eval_batch_size=EVAL_BATCH)
@@ -206,13 +212,15 @@ def main():
     cfg = Config(dataset_name="twitter15", use_align=True)
     record("c2_align_span",
            "BERT-base + merged visual-context text, b32 s500",
-           _time_train(cfg, bc, _span_batch(cfg, bc, BATCH, 500), "span"))
+           _time_train(cfg, bc, _span_batch(cfg, bc, BATCH, 500), "span"),
+           mfu=(bc, 500, 0))
 
     # 3. + visual-feature branch (prefix KV fusion), CRF pipeline.
     cfg = Config(dataset_name="twitter2017", use_prefix=True, use_152=True)
     record("c3_prefix_crf",
            "BERT-base + 16-slot visual prefix, CRF tagging, b32 s128",
-           _time_train(cfg, bc, _crf_batch(cfg, bc, BATCH, 128), "crf"))
+           _time_train(cfg, bc, _crf_batch(cfg, bc, BATCH, 128), "crf"),
+           mfu=(bc, 128, 16))
 
     # 4. RoBERTa-base backbone with the visual prefix.
     cfg = Config(dataset_name="twitter2015", bert_name="roberta-base",
@@ -221,14 +229,16 @@ def main():
     record("c4_roberta_prefix_crf",
            "RoBERTa-base + visual prefix, CRF tagging, b32 s128",
            _time_train(cfg, bc_rob, _crf_batch(cfg, bc_rob, BATCH, 128),
-                       "crf"))
+                       "crf"),
+           mfu=(bc_rob, 128, 16))
 
     # 5. Full MTVAF flagship (prefix + VAO ANP + probe) — bench.py's config.
     cfg = Config(dataset_name="twitter2015", use_prefix=True, use_152=True,
                  vao=True, use_probe=True)
     record("c5_full_flagship",
            "full MTVAF: prefix + ANP (vao) + probe, CRF, b32 s128",
-           _time_train(cfg, bc, _crf_batch(cfg, bc, BATCH, 128), "crf"))
+           _time_train(cfg, bc, _crf_batch(cfg, bc, BATCH, 128), "crf"),
+           mfu=(bc, 128, 16))
 
     # 6. Raw-text serving (production inference API, text-only CRF model).
     record("c6_crf_serving",
