@@ -45,14 +45,30 @@ def _keep_mask(shape, rate):
     return (bits >= threshold).astype(jnp.float32) / (1.0 - rate)
 
 
+# KV-dimension chunk width for the backward pass (and the dropout-mask draw
+# granularity in BOTH passes — masks are drawn per chunk so the two passes
+# agree no matter how each one blocks heads).  128 = one lane tile.
+_T_CHUNK = 256
+
+
+def _t_chunks(t: int):
+    """Static (offset, size) chunk list covering the KV dimension."""
+    return [(off, min(_T_CHUNK, t - off)) for off in range(0, t, _T_CHUNK)]
+
+
+def _seed_head(seed_ref, heads: int, h: int):
+    """Seed the per-core PRNG for one (batch, GLOBAL head) pair — invariant
+    to the head-block factor, so forward and backward may block heads
+    differently and still regenerate identical mask streams.  (The hardware
+    accepts 2 seed words: the rng-derived word + the folded position.)"""
+    total = pl.num_programs(1) * heads
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * total
+                    + pl.program_id(1) * heads + h)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref, *,
                 scale, heads, rate):
     bias = bias_ref[0].astype(jnp.float32)            # (1|S, T)
-    if rate > 0.0:
-        # hardware accepts at most 2 seed words: fold (batch, head-block)
-        # program ids into one.
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
     for h in range(heads):
         q = q_ref[0, h].astype(jnp.float32)           # (S, D)
         k = k_ref[0, h].astype(jnp.float32)           # (T, D)
@@ -65,8 +81,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref, *,
         l = jnp.sum(p, axis=-1, keepdims=True)
         if rate > 0.0:
             # dropout on normalized probs a = p/l ⇒ scale the unnormalized p;
-            # lse stays the dropout-free softmax statistic.
-            p = p * _keep_mask(p.shape, rate)
+            # lse stays the dropout-free softmax statistic.  Masks are drawn
+            # per T-chunk in the same (head, chunk) order as the backward.
+            _seed_head(seed_ref, heads, h)
+            keep = jnp.concatenate(
+                [_keep_mask((p.shape[0], size), rate)
+                 for _, size in _t_chunks(p.shape[1])], axis=1)
+            p = p * keep
         o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) / l
         o_ref[0, h] = o.astype(o_ref.dtype)
@@ -75,50 +96,53 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref, *,
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
                 do_ref, dq_ref, dk_ref, dv_ref, *, scale, heads, rate):
-    bias = bias_ref[0].astype(jnp.float32)
-    if rate > 0.0:
-        # same 2-word seeding as the forward kernel → same mask stream.
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
+    """KV-chunked backward: scores/probs/grad-intermediates exist only as
+    (S, T_CHUNK) tiles, never the full (S, T) matrix — at S=512 this keeps
+    the per-head working set ~4x smaller, so more heads fit one program
+    (_heads_per_program_bwd) and nothing spills out of VMEM.  dk/dv stream
+    out per chunk; dq accumulates in fp32 across chunks."""
     for h in range(heads):
         q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
         o = o_ref[0, h].astype(jnp.float32)
         do = do_ref[0, h].astype(jnp.float32)
         lse = lse_ref[0, h, :, 0]                     # (S,)
-
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale \
-            + bias
-        p = jnp.exp(s - lse[:, None])                 # (S, T), softmax probs a
-
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)   # rowsum(do∘o)
         if rate > 0.0:
-            # same seeding + draw order as forward → identical masks.
-            # With y = a∘mask and o = y@v:  dv = yᵀdo;  da = (do vᵀ)∘mask;
-            # ds = a∘(da − delta) where delta = rowsum(do∘o) = rowsum(da∘a).
-            keep = _keep_mask(p.shape, rate)
-            y = p * keep
-        else:
-            keep = None
-            y = p
-
-        dv = jax.lax.dot_general(y, do, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (T, D)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (S, T)
-        if keep is not None:
-            dp = dp * keep
-        delta = jnp.sum(do * o, axis=-1, keepdims=True)
-        ds = p * (dp - delta)
-        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-
+            _seed_head(seed_ref, heads, h)   # same stream as forward
+        dq = jnp.zeros(q.shape, jnp.float32)
+        for off, size in _t_chunks(k_ref.shape[2]):
+            k = k_ref[0, h, off:off + size].astype(jnp.float32)
+            v = v_ref[0, h, off:off + size].astype(jnp.float32)
+            bias = bias_ref[0][:, off:off + size].astype(jnp.float32)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) \
+                * scale + bias
+            p = jnp.exp(s - lse[:, None])             # (S, c) softmax probs a
+            if rate > 0.0:
+                # same seeding + chunk draw order as forward → same masks.
+                # With y = a∘mask and o = y@v:  dv = yᵀdo;  da = (do vᵀ)∘mask;
+                # ds = a∘(da − delta), delta = rowsum(do∘o) = rowsum(da∘a).
+                keep = _keep_mask(p.shape, rate)
+                y = p * keep
+            else:
+                keep = None
+                y = p
+            dv = jax.lax.dot_general(y, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if keep is not None:
+                dp = dp * keep
+            ds = p * (dp - delta)                     # (S, c)
+            dq = dq + jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                * scale
+            dk_ref[0, h, off:off + size] = dk.astype(dk_ref.dtype)
+            dv_ref[0, h, off:off + size] = dv.astype(dv_ref.dtype)
         dq_ref[0, h] = dq.astype(dq_ref.dtype)
-        dk_ref[0, h] = dk.astype(dk_ref.dtype)
-        dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
 def _spec4(hb, s, d):
@@ -131,19 +155,29 @@ def _spec3(s, t):
                         memory_space=pltpu.VMEM)
 
 
-def _heads_per_program(h: int, s: int) -> int:
-    """Largest head block that keeps one program's working set in VMEM.
-
-    At S=128 all 12 heads fit one program (fewest grid iterations, measured
-    fastest); at S=512 the backward working set exceeds the 16 MB scoped VMEM
-    with 12 resident heads, so the block shrinks.  Budget: hb·S ≤ 1536 rows.
-    """
+def _head_block(h: int, s: int, budget: int) -> int:
     hb = h
-    while hb > 1 and (hb * s > 1536 or h % hb != 0):
+    while hb > 1 and (hb * s > budget or h % hb != 0):
         hb -= 1
     while h % hb != 0:
         hb -= 1
     return max(hb, 1)
+
+
+def _heads_per_program(h: int, s: int) -> int:
+    """Largest forward head block that keeps one program's working set in
+    VMEM.  At S=128 all 12 heads fit one program (fewest grid iterations,
+    measured fastest); at S=512 the (S, T) probs matrix caps the block.
+    Budget: hb·S ≤ 1536 rows."""
+    return _head_block(h, s, 1536)
+
+
+def _heads_per_program_bwd(h: int, s: int) -> int:
+    """Backward head block.  The KV-chunked backward never materializes the
+    full (S, T) matrix — intermediates are (S, T_CHUNK) — so the per-head
+    VMEM footprint is dominated by the 6 (S|T, D) head planes and the block
+    can be ~2x the forward's (hb·S ≤ 3072: 6 heads at S=512)."""
+    return _head_block(h, s, 3072)
 
 
 def _seed_spec():
@@ -184,7 +218,7 @@ def _attention_bwd(scale, rate, res, g):
     q, k, v, bias_f, seed, o, lse, bias_shape = res
     b, h, s, d = q.shape
     t = k.shape[2]
-    hb = _heads_per_program(h, s)
+    hb = _heads_per_program_bwd(h, s)
 
     lse_spec = _spec4(hb, s, 1)
     dq, dk, dv = pl.pallas_call(

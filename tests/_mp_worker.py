@@ -1,9 +1,10 @@
 """Worker for the real multi-process SPMD test (tests/test_multiprocess.py).
 
 Run as: python _mp_worker.py <coordinator> <num_processes> <process_id>
-<data_dir> — forces the CPU platform with 2 virtual devices, joins the
-jax.distributed cluster, trains one CrfTrainer epoch on a shared 4-device
-mesh, and prints one JSON line with the resulting losses/params digest.
+<data_dir> [pipeline] — forces the CPU platform with 4/num_processes
+virtual devices, joins the jax.distributed cluster, trains one trainer
+epoch (crf or span pipeline) on a shared 4-device mesh, and prints one
+JSON line with the resulting losses/params digest.
 
 With num_processes=1 (and 4 virtual devices) it doubles as the
 single-process baseline producing the same global mesh.
@@ -15,7 +16,7 @@ import sys
 
 
 def main(coordinator: str, num_processes: int, process_id: int,
-         data_dir: str) -> None:
+         data_dir: str, pipeline: str = "crf") -> None:
     n_local = 4 // num_processes
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -32,23 +33,38 @@ def main(coordinator: str, num_processes: int, process_id: int,
     import numpy as np
 
     from mtvaf_tpu.core.config import Config
-    from mtvaf_tpu.data.datasets import CrfDataset
+    from mtvaf_tpu.data.datasets import CrfDataset, SpanDataset
     from mtvaf_tpu.data.tokenization import FullTokenizer
     from mtvaf_tpu.nn.bert import BertConfig
-    from mtvaf_tpu.nn.models import init_crf_model_params
+    from mtvaf_tpu.nn.models import (init_crf_model_params,
+                                     init_span_model_params)
     from mtvaf_tpu.train.trainer_crf import CrfTrainer
+    from mtvaf_tpu.train.trainer_span import SpanTrainer
 
     tokenizer = FullTokenizer(os.path.join(data_dir, "vocab.txt"))
-    cfg = Config(dataset_name="twitter2015", max_seq=24, train_batch_size=8,
-                 eval_batch_size=8, num_epochs=1, eval_begin_epoch=99,
-                 bf16=False, num_anp_classes=8, lr=1e-3, mesh_data=4,
-                 seed=13)
-    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
-    ds = CrfDataset.load(cfg, tokenizer, os.path.join(data_dir, "train.txt"),
-                         os.path.join(data_dir, "anp.json"))
-    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
-    trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
-                         dev_dataset=ds, test_dataset=ds)
+    if pipeline == "crf":
+        cfg = Config(dataset_name="twitter2015", max_seq=24,
+                     train_batch_size=8, eval_batch_size=8, num_epochs=1,
+                     eval_begin_epoch=99, bf16=False, num_anp_classes=8,
+                     lr=1e-3, mesh_data=4, seed=13)
+        bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+        ds = CrfDataset.load(cfg, tokenizer,
+                             os.path.join(data_dir, "train.txt"),
+                             os.path.join(data_dir, "anp.json"))
+        params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+        trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                             dev_dataset=ds, test_dataset=ds)
+    else:
+        cfg = Config(dataset_name="twitter15", max_seq=32,
+                     train_batch_size=8, eval_batch_size=8, num_epochs=1,
+                     eval_begin_epoch=99, n_best_size=8, max_answer_length=4,
+                     bf16=False, lr=1e-3, mesh_data=4, seed=13)
+        bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+        ds = SpanDataset.load(cfg, tokenizer,
+                              os.path.join(data_dir, "train_span.txt"))
+        params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+        trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                              dev_dataset=ds, test_dataset=ds)
 
     assert trainer.mesh is not None and trainer.mesh.devices.size == 4
     if num_processes > 1:
@@ -61,7 +77,12 @@ def main(coordinator: str, num_processes: int, process_id: int,
     trainer.train()
 
     # dev prediction through the (host-local on multi-process) eval mesh
-    y_true, y_pred, dev_loss = trainer._predict(trainer.dev_dataset)
+    if pipeline == "crf":
+        y_true, y_pred, dev_loss = trainer._predict(trainer.dev_dataset)
+    else:
+        results = trainer._predict(trainer.dev_dataset)
+        y_pred = [list(map(int, r.cls_pred)) for r in results]
+        dev_loss = 0.0
     digest = float(sum(np.abs(np.asarray(x, np.float64)).sum()
                        for x in jax.tree.leaves(trainer.state.params)))
     first_leaf = np.asarray(jax.tree.leaves(trainer.state.params)[0])
@@ -77,4 +98,5 @@ def main(coordinator: str, num_processes: int, process_id: int,
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+         sys.argv[5] if len(sys.argv) > 5 else "crf")

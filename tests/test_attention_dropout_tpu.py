@@ -76,6 +76,7 @@ def check_forward_backward_vs_extracted_masks():
     from jax.experimental.pallas import tpu as pltpu
 
     from mtvaf_tpu.kernels.prefix_attention import (_heads_per_program,
+                                                    _t_chunks,
                                                     prefix_flash_attention)
     B, H, S, P, D = 1, 2, 8, 4, 8
     T = S + P
@@ -88,13 +89,18 @@ def check_forward_backward_vs_extracted_masks():
     hb = _heads_per_program(H, S)
 
     def probe(seed_ref, o_ref):
-        pltpu.prng_seed(seed_ref[0],
-                        pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
+        # replicate the kernel's seed + draw order: per-(batch, GLOBAL head)
+        # seeding, masks drawn per T-chunk
         for h in range(hb):
-            bits = pltpu.bitcast(pltpu.prng_random_bits((S, T)), jnp.uint32)
+            total = pl.num_programs(1) * hb
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0) * total
+                            + pl.program_id(1) * hb + h)
             thr = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
-            o_ref[0, h] = (bits >= thr).astype(jnp.float32)
+            chunks = [
+                (pltpu.bitcast(pltpu.prng_random_bits((S, size)), jnp.uint32)
+                 >= thr).astype(jnp.float32)
+                for _, size in _t_chunks(T)]
+            o_ref[0, h] = jnp.concatenate(chunks, axis=1)
 
     masks = pl.pallas_call(
         probe, grid=(B, H // hb),

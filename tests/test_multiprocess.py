@@ -30,7 +30,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(num_processes, data_dir, coordinator):
+def _run_workers(num_processes, data_dir, coordinator, pipeline="crf"):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"   # belt-and-braces; worker forces it too
     env.pop("XLA_FLAGS", None)     # worker sets its own device count
@@ -39,7 +39,7 @@ def _run_workers(num_processes, data_dir, coordinator):
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, coordinator, str(num_processes),
-             str(pid), data_dir],
+             str(pid), data_dir, pipeline],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True)
         for pid in range(num_processes)
@@ -60,10 +60,12 @@ def _run_workers(num_processes, data_dir, coordinator):
 
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):
-    from mtvaf_tpu.data.synthetic import make_crf_files, make_vocab_file
+    from mtvaf_tpu.data.synthetic import (make_crf_files, make_span_file,
+                                          make_vocab_file)
     d = tmp_path_factory.mktemp("mp_data")
     make_crf_files(str(d / "train.txt"), str(d / "anp.json"), 16, seed=9,
                    num_anp=8)
+    make_span_file(str(d / "train_span.txt"), 16, seed=9)
     make_vocab_file(str(d / "vocab.txt"))
     return str(d)
 
@@ -96,3 +98,19 @@ def test_two_process_epoch_matches_single_process(data_dir):
     # both processes bitwise-agree with each other
     assert results[0]["params_digest"] == results[1]["params_digest"]
     assert results[0]["y_pred"] == results[1]["y_pred"]
+
+
+def test_two_process_span_epoch_matches_single_process(data_dir):
+    """Span pipeline: exercises the cross-host summed eval_absa counts
+    (allow_missing row subsets) and the span trainer's multi-host branches."""
+    baseline = _run_workers(1, data_dir, "unused", pipeline="span")[0]
+    coordinator = f"localhost:{_free_port()}"
+    results = _run_workers(2, data_dir, coordinator, pipeline="span")
+    for r in results:
+        assert r["step"] == baseline["step"]
+        np.testing.assert_allclose(r["params_digest"],
+                                   baseline["params_digest"], rtol=1e-6)
+        assert r["train_f1"] is not None
+        np.testing.assert_allclose(r["train_f1"], baseline["train_f1"],
+                                   rtol=1e-9)
+        assert r["y_pred"] == baseline["y_pred"]

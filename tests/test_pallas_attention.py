@@ -96,3 +96,34 @@ def test_adaptive_dispatch_by_seq_length(monkeypatch):
     q, k, v, bias = make_inputs(S=pa._PALLAS_MIN_SEQ, P=4)   # long -> kernel
     out = pa.adaptive_attention(q, k, v, bias)
     assert calls == ["pallas"] and out.shape == q.shape
+
+
+def test_backward_multi_chunk_matches_xla():
+    """T > _T_CHUNK exercises the KV-chunked backward (several chunks incl.
+    a ragged tail) — gradients must still match the XLA reference."""
+    from mtvaf_tpu.kernels.prefix_attention import (_T_CHUNK, _t_chunks,
+                                                    prefix_flash_attention)
+    S, P = 2 * _T_CHUNK, 16           # T = 528: chunks 256 + 256 + 16
+    q, k, v, bias = make_inputs(B=1, H=2, S=S, P=P, D=8, seed=3)
+    assert len(_t_chunks(S + P)) == 3
+
+    def loss(fn, q, k, v):
+        return (fn(q, k, v, bias) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gr = jax.grad(lambda *a: loss(xla_attention, *a),
+                      argnums=(0, 1, 2))(q, k, v)
+        gg = jax.grad(lambda *a: loss(prefix_flash_attention, *a),
+                      argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gg):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   rtol=1e-4)
+
+
+def test_bwd_head_block_budget():
+    from mtvaf_tpu.kernels.prefix_attention import (_heads_per_program,
+                                                    _heads_per_program_bwd)
+    # chunked backward fits ~2x the forward's heads at long sequence
+    assert _heads_per_program_bwd(12, 512) == 6
+    assert _heads_per_program(12, 512) == 3
+    assert _heads_per_program_bwd(12, 128) == 12
