@@ -203,3 +203,16 @@ def test_mesh_trainer_table_with_accumulation(tmp_path):
     for x, y in zip(jax.tree.leaves(t_host.state.params),
                     jax.tree.leaves(t_dev.state.params)):
         np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_pack_and_put_dp_tp_mesh():
+    """On a data x model mesh the packed leaves shard over 'data' and
+    replicate over 'model' (matching put_global_batch's layout)."""
+    mesh = make_mesh(data=2, model=2)
+    batch = _batch(b=4)
+    out = pack_and_put(dict(batch), mesh=mesh)
+    for k, v in batch.items():
+        np.testing.assert_array_equal(np.asarray(out[k]), v)
+        assert out[k].sharding.spec == P("data")
+        # every value readable on all 4 devices (model-axis replication)
+        assert len(out[k].sharding.device_set) == 4
