@@ -113,7 +113,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
         for off, size in _t_chunks(k_ref.shape[2]):
             k = k_ref[0, h, off:off + size].astype(jnp.float32)
             v = v_ref[0, h, off:off + size].astype(jnp.float32)
-            bias = bias_ref[0][:, off:off + size].astype(jnp.float32)
+            # slice at the REF level: a vector-level slice of the loaded
+            # bias row carries a lane-offset layout Mosaic cannot broadcast
+            # ("Invalid input layout" at the s+bias add)
+            bias = bias_ref[0, :, off:off + size].astype(jnp.float32)
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) \
                 * scale + bias

@@ -120,8 +120,8 @@ def test_span_accum_train_f1_from_predictions(tmp_path, tokenizer,
     captured = {}
     real_eval_absa = ts.eval_absa
 
-    def spy(examples, features, results, do_lower_case):
-        out = real_eval_absa(examples, features, results, do_lower_case)
+    def spy(examples, features, results, do_lower_case, **kw):
+        out = real_eval_absa(examples, features, results, do_lower_case, **kw)
         captured["metrics"] = out[0]
         return out
 
