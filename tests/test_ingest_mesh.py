@@ -216,3 +216,15 @@ def test_pack_and_put_dp_tp_mesh():
         assert out[k].sharding.spec == P("data")
         # every value readable on all 4 devices (model-axis replication)
         assert len(out[k].sharding.device_set) == 4
+
+
+def test_cross_host_sum_single_process_identity():
+    from mtvaf_tpu.core.mesh import cross_host_sum, local_batch_rows
+    mesh = make_mesh(data=4, model=1)
+    v = np.asarray([[1, 2, 3], [4, 5, 6]], np.float32)
+    np.testing.assert_array_equal(cross_host_sum(v, mesh), v)
+    # local_batch_rows == np.asarray for addressable arrays
+    x = jax.device_put(np.arange(12).reshape(4, 3),
+                       jax.sharding.NamedSharding(mesh, P("data")))
+    np.testing.assert_array_equal(local_batch_rows(x),
+                                  np.arange(12).reshape(4, 3))
