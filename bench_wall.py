@@ -1,0 +1,111 @@
+"""Production train-loop WALL-CLOCK bench (full pipeline, not just the step).
+
+Round-2's ingest ladder (BASELINE.md: 87-114 → 540 ex/s) was measured with
+an ad-hoc script; this makes it a repeatable artifact.  Builds the flagship
+CRF config on synthetic data with real JPEG images (ResNet-152 guides
+computed once per image via GuideCache, device-resident table on),
+runs `CrfTrainer.train()` for a few epochs, and reports the best
+steady-state epoch throughput — the number that includes batch packing,
+guide gathering, prefetch, dispatch, and train-metric collection.
+
+Run on TPU: `python bench_wall.py` (first epoch pays compiles and guide
+fills; steady state is epochs 2+).  Writes BENCH_WALL.json.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import tempfile
+
+N_EXAMPLES = 2048
+N_IMAGES = 64
+EPOCHS = 4
+
+
+def main(smoke: bool = False):
+    global N_EXAMPLES, N_IMAGES, EPOCHS
+    if smoke:        # CPU smoke test of the harness itself (tiny scale)
+        N_EXAMPLES, N_IMAGES, EPOCHS = 32, 4, 2
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    logging.basicConfig(level=logging.INFO)
+    from mtvaf_tpu.core.platform import configure_tpu_defaults
+    if not smoke:
+        configure_tpu_defaults()
+
+    import jax
+
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.data.datasets import CrfDataset
+    from mtvaf_tpu.data.synthetic import (make_crf_files, make_images,
+                                          make_vocab_file)
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+    from mtvaf_tpu.kernels.prefix_attention import select_attention_impl
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.nn.models import init_crf_model_params
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+    from mtvaf_tpu.train.trainer_crf import CrfTrainer
+
+    with tempfile.TemporaryDirectory() as d:
+        img_ids = [f"{700000 + i}.jpg" for i in range(N_IMAGES)]
+        make_images(os.path.join(d, "imgs"), img_ids, size=256)
+        make_crf_files(os.path.join(d, "train.txt"),
+                       os.path.join(d, "anp.json"), N_EXAMPLES, seed=0,
+                       image_ids=img_ids, num_anp=16 if smoke else 2089)
+        make_vocab_file(os.path.join(d, "vocab.txt"))
+        tok = FullTokenizer(os.path.join(d, "vocab.txt"))
+
+        import dataclasses
+        cfg = Config(dataset_name="twitter2015", use_prefix=True,
+                     use_152=True, vao=True, use_probe=True,
+                     num_epochs=EPOCHS, eval_begin_epoch=99,
+                     num_anp_classes=2089,
+                     cache_dir=os.path.join(d, "cache"))
+        if smoke:
+            cfg = cfg.replace(use_152=False, use_18=True, max_seq=24,
+                              train_batch_size=8, eval_batch_size=8,
+                              num_anp_classes=16, mesh_data=1)
+            bc = BertConfig.tiny(vocab_size=len(tok.vocab))
+        else:
+            bc = dataclasses.replace(BertConfig.base(),
+                                     vocab_size=max(len(tok.vocab), 128))
+        ds = CrfDataset.load(cfg, tok, os.path.join(d, "train.txt"),
+                             os.path.join(d, "anp.json"),
+                             img_dir=os.path.join(d, "imgs"))
+        params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bc)
+        resnet = init_resnet_params(jax.random.PRNGKey(1),
+                                    depth=cfg.resnet_depth)
+
+        rates = []
+        trainer = CrfTrainer(cfg, bc, params, train_dataset=ds,
+                             dev_dataset=ds, test_dataset=ds,
+                             resnet_params=resnet,
+                             attention_impl=select_attention_impl(cfg, True))
+
+        # sample trainer.last_throughput at each epoch-end log record
+        class _Hook(logging.Handler):
+            def emit(self, record):
+                if "train loss" in record.getMessage():
+                    rates.append(trainer.last_throughput)
+
+        hook = _Hook()
+        logging.getLogger("mtvaf_tpu.train.trainer_crf").addHandler(hook)
+        trainer.train()
+        logging.getLogger("mtvaf_tpu.train.trainer_crf").removeHandler(hook)
+
+        steady = max(rates[1:]) if len(rates) > 1 else (rates or [0.0])[-1]
+        row = {"metric": "production_wall_examples_per_sec",
+               "value": round(steady, 1), "unit": "examples/s",
+               "per_epoch": [round(r, 1) for r in rates],
+               "config": "flagship CRF, b32 s128, JPEG→guides→fused step,"
+                         " device guide table + packed upload"}
+        print(json.dumps(row))
+        with open("BENCH_WALL.json", "w") as f:
+            json.dump(row, f, indent=2)
+
+
+if __name__ == "__main__":
+    import sys
+    main(smoke="--smoke" in sys.argv)
