@@ -786,3 +786,148 @@ def test_train_span_decode_parity_vs_reference(ref_utils, span_fixture):
         assert g_ends == r_ends[0]
         assert g_labels == r_labels[0]
         assert g_masks == r_masks[0]
+
+
+def test_roberta_crf_prefix_loss_parity_vs_reference(ref, monkeypatch):
+    """RoBERTa-fork oracle (C7): the reference's TVNetSAModel2 with the
+    forked RobertaModel backbone (models/modeling_roberta.py — prefix
+    concat :218-222, pkv_len=0 :910-911, position ids from
+    create_position_ids_from_input_ids :1706-1718) vs crf_model_forward
+    with is_roberta config, same converted weights + guides.  Includes
+    pad_token_id rows so the position-id offset semantics are pinned."""
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.core.convert import bert_params_from_torch
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.nn.models import crf_model_forward
+
+    bert_cfg = BertConfig.base(is_roberta=True)
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=768,
+        num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, max_position_embeddings=514,
+        type_vocab_size=1, pad_token_id=1)
+    monkeypatch.setattr(
+        ref.RobertaModel, "from_pretrained",
+        classmethod(lambda cls, name, *a, **k: cls(hf_cfg)))
+
+    b, s = 2, 12
+    rs = np.random.RandomState(3)
+    main_g = rs.randn(b, 4, 3840).astype(np.float32)
+    aux_g = rs.randn(b, 3, 4, 3840).astype(np.float32)
+
+    class StubImageModel(nn.Module):
+        channels = (256, 512, 1024, 2048)
+
+        def forward(self, images, aux_imgs=None):
+            def unpack(g):
+                x = torch.tensor(g).reshape(g.shape[0], -1).reshape(
+                    g.shape[0], 3840, 2, 2)
+                return list(torch.split(x, list(self.channels), dim=1))
+            return unpack(main_g), [unpack(aux_g[:, i]) for i in range(3)]
+
+    monkeypatch.setattr(ref, "ImageModel", lambda *a, **k: StubImageModel())
+
+    torch.manual_seed(7)
+    args = _args(bert_name="roberta-base", use_prefix=True, use_152=True)
+    model = ref.TVNetSAModel2(list(range(10)), tokenizer=None, args=args)
+    model.eval()
+
+    input_ids = rs.randint(2, bert_cfg.vocab_size, (b, s))
+    attn = np.ones((b, s), np.int64)
+    attn[1, -3:] = 0
+    input_ids[1, -3:] = 1        # roberta pad id → position-id offset path
+    segs = np.zeros((b, s), np.int64)
+    labels = rs.randint(1, 11, (b, s))
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.tensor(attn),
+            token_type_ids=torch.tensor(segs),
+            labels=torch.tensor(labels),
+            images=torch.zeros(b, 3, 224, 224),
+            aux_imgs=torch.zeros(b, 3, 3, 224, 224))
+    ref_loss = float(out.loss)
+    ref_tags = out.logits
+
+    cfg = Config(dataset_name="twitter2015", bert_name="roberta-base",
+                 use_prefix=True, use_152=True, bf16=False)
+    assert cfg.is_roberta
+    params = {
+        "bert": bert_params_from_torch(model.roberta.state_dict()
+                                       if hasattr(model, "roberta")
+                                       else model.bert.state_dict(), 12),
+        "fc": _dense(model.fc),
+        "crf": {
+            "start": jnp.asarray(_t(model.crf.start_transitions)),
+            "end": jnp.asarray(_t(model.crf.end_transitions)),
+            "transitions": jnp.asarray(_t(model.crf.transitions)),
+        },
+        "prefix": {
+            "conv_in": _dense(model.encoder_conv[0]),
+            "conv_out": _dense(model.encoder_conv[2]),
+            "projectors": {
+                "kernel": jnp.stack(
+                    [jnp.asarray(_t(p.weight).T) for p in model.projectors]),
+                "bias": jnp.stack(
+                    [jnp.asarray(_t(p.bias)) for p in model.projectors]),
+            },
+        },
+    }
+    batch = {
+        "input_ids": jnp.asarray(input_ids, jnp.int32),
+        "input_mask": jnp.asarray(attn, jnp.int32),
+        "segment_ids": jnp.asarray(segs, jnp.int32),
+        "label_ids": jnp.asarray(labels, jnp.int32),
+    }
+    with jax.default_matmul_precision("highest"):
+        got = crf_model_forward(
+            params, cfg, bert_cfg, batch,
+            visual_guides=(jnp.asarray(main_g), jnp.asarray(aux_g)),
+            rng=None, with_loss=True, with_decode=True)
+
+    np.testing.assert_allclose(float(got["loss"]), ref_loss, rtol=2e-5,
+                               atol=2e-4)
+    tags = np.asarray(got["pred_tags"])
+    lengths = np.asarray(got["lengths"])
+    for i in range(b):
+        assert list(tags[i][:lengths[i]]) == ref_tags[i]
+
+
+def test_cal_cut_loss_parity_vs_reference(ref, ref_utils):
+    """Cutoff-consistency combination (C14): the reference SATrainer's own
+    cal_cut_loss / js_div (modules/train.py:523-538, incl. the reversed
+    torch.kl_div argument convention and the dim=1 softmax over span
+    positions) vs our js_div + combination on identical random logits.
+    (ref/ref_utils fixtures install the import stubs modules.train needs.)"""
+    import types as _types
+
+    if "seqeval" not in sys.modules:
+        seqeval = _stub_module("seqeval")
+        sm = _stub_module("seqeval.metrics")
+        sm.classification_report = lambda *a, **k: ""
+        seqeval.metrics = sm
+    if "tensorboardX" not in sys.modules:
+        tbx = _stub_module("tensorboardX")
+        tbx.SummaryWriter = object
+    from modules.train import SATrainer
+
+    from mtvaf_tpu.train.augment import js_div
+
+    rs = np.random.RandomState(0)
+    logits = rs.randn(2, 6, 4).astype(np.float32)
+    cut_logits = rs.randn(2, 6, 4).astype(np.float32)
+    base_loss, cut_loss = 1.7, 0.9
+
+    stub = _types.SimpleNamespace(
+        args=_types.SimpleNamespace(aug_ce_loss=0.7, aug_js_loss=1.3))
+    # reuse the reference's js_div through the same unbound-call trick
+    stub.js_div = lambda p, q: SATrainer.js_div(stub, p, q)
+    ref_total = SATrainer.cal_cut_loss(
+        stub, torch.tensor(base_loss), torch.tensor(logits),
+        torch.tensor(cut_loss), torch.tensor(cut_logits))
+
+    p = jax.nn.softmax(jnp.asarray(logits) + 1e-10, axis=1)
+    q = jax.nn.softmax(jnp.asarray(cut_logits) + 1e-10, axis=1)
+    got = base_loss + 0.7 * cut_loss + 1.3 * float(js_div(p, q))
+    np.testing.assert_allclose(got, float(ref_total), rtol=1e-5)
