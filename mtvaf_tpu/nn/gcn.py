@@ -21,6 +21,21 @@ import jax.numpy as jnp
 from .layers import dense, dense_init, dropout, layer_norm, layer_norm_init
 
 
+def _sample_layer_norm(params, x, *, eps: float = 1e-6):
+    """The DualGCN reference's custom LayerNorm (models/bert_model.py:
+    861-873): UNBIASED std (Bessel's n-1) with eps added to the STD —
+    both unlike standard LN.  ~0.07% scale difference at hidden 768;
+    kept exact for oracle parity."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    n = xf.shape[-1]
+    var = jnp.sum(jnp.square(xf - mean), axis=-1, keepdims=True) / (n - 1)
+    y = (xf - mean) / (jnp.sqrt(var) + eps)
+    y = y * params["scale"].astype(jnp.float32) \
+        + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # DiGCN.
 
@@ -132,7 +147,7 @@ def dualgcn_forward(params: Dict, cfg, sequence_output, pooled_output, adj,
     b, s, hid = sequence_output.shape
     mem = hid // 2
 
-    seq = layer_norm(params["layernorm"], sequence_output)
+    seq = _sample_layer_norm(params["layernorm"], sequence_output)
     gcn_inputs = dropout(seq, cfg.bert_dropout, rngs[0])
     pooled = dropout(pooled_output, cfg.bert_dropout, rngs[1])
 

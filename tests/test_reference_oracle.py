@@ -931,3 +931,97 @@ def test_cal_cut_loss_parity_vs_reference(ref, ref_utils):
     q = jax.nn.softmax(jnp.asarray(cut_logits) + 1e-10, axis=1)
     got = base_loss + 0.7 * cut_loss + 1.3 * float(js_div(p, q))
     np.testing.assert_allclose(got, float(ref_total), rtol=1e-5)
+
+
+def test_digcn_forward_parity_vs_reference(ref):
+    """DiGCN oracle (C12a): the reference's own DiGCNModuleAtt — triangular
+    attention split + BertLayerNorm + relu stack (models/bert_model.py:
+    661-757) — vs digcn_forward with converted weights."""
+    from mtvaf_tpu.nn.gcn import digcn_forward
+
+    hid, b, s, L = 64, 2, 10, 2
+    torch.manual_seed(11)
+    module = ref.DiGCNModuleAtt(L, hid)
+    module.eval()
+
+    rs = np.random.RandomState(4)
+    hidden = rs.randn(b, s, hid).astype(np.float32)
+    adj = (rs.rand(b, s, s) < 0.4).astype(np.float32)
+
+    with torch.no_grad():
+        want = module(torch.tensor(hidden), torch.tensor(adj))
+
+    layers = []
+    for gcn in module.GCNLayers:
+        layers.append({
+            "left": _dense(gcn.left_linear),
+            "self": _dense(gcn.self_linear),
+            "right": _dense(gcn.right_linear),
+            "ln": {"scale": jnp.asarray(_t(gcn.output_layer_norm.weight)),
+                   "bias": jnp.asarray(_t(gcn.output_layer_norm.bias))},
+        })
+    with jax.default_matmul_precision("highest"):
+        got = digcn_forward({"layers": layers}, jnp.asarray(hidden),
+                            jnp.asarray(adj))
+    np.testing.assert_allclose(np.asarray(got), _t(want), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_dualgcn_forward_parity_vs_reference(ref):
+    """DualGCN oracle (C12b): the reference's own GCNBert forward — MHA
+    adjacency, biaffine cross passes, aspect pooling, ortho+diff penalties,
+    and its CUSTOM LayerNorm (unbiased std, eps outside the sqrt —
+    models/bert_model.py:861-873) — vs dualgcn_forward, converted weights."""
+    import types as _types
+
+    from mtvaf_tpu.nn.gcn import dualgcn_forward
+
+    hid, heads, b, s, L = 64, 4, 2, 10, 2
+    bert_stub = _types.SimpleNamespace(
+        config=_types.SimpleNamespace(hidden_size=hid,
+                                      num_attention_heads=heads))
+    opt = _types.SimpleNamespace(bert_dropout=0.3, gcn_dropout=0.1,
+                                 alpha=0.25, beta=0.5, device="cpu")
+    torch.manual_seed(13)
+    module = ref.GCNBert(bert_stub, opt, L)
+    with torch.no_grad():
+        module.affine1.uniform_(-0.1, 0.1)
+        module.affine2.uniform_(-0.1, 0.1)
+    module.eval()
+
+    rs = np.random.RandomState(5)
+    seq = rs.randn(b, s, hid).astype(np.float32)
+    pooled = rs.randn(b, hid).astype(np.float32)
+    adj = (rs.rand(b, s, s) < 0.4).astype(np.float32)
+    src_mask = np.ones((b, s), np.float32)
+    src_mask[1, -2:] = 0
+    aspect_mask = np.zeros((b, s), np.float32)
+    aspect_mask[:, 2:4] = 1
+
+    with torch.no_grad():
+        want_logits, want_penal = module(
+            torch.tensor(adj), torch.tensor(src_mask),
+            torch.tensor(aspect_mask), torch.tensor(seq),
+            torch.tensor(pooled))
+
+    params = {
+        "layernorm": {"scale": jnp.asarray(_t(module.layernorm.a_2)),
+                      "bias": jnp.asarray(_t(module.layernorm.b_2))},
+        "attn_q": _dense(module.attn.linears[0]),
+        "attn_k": _dense(module.attn.linears[1]),
+        "affine1": jnp.asarray(_t(module.affine1)),
+        "affine2": jnp.asarray(_t(module.affine2)),
+        "classifier": _dense(module.dualgcn_classifier),
+        "W": [_dense(m) for m in module.W],
+        "weight_list": [_dense(m) for m in module.weight_list],
+    }
+    cfg = _types.SimpleNamespace(bert_dropout=0.3, gcn_dropout=0.1,
+                                 alpha=0.25, beta=0.5)
+    with jax.default_matmul_precision("highest"):
+        logits, penal = dualgcn_forward(
+            params, cfg, jnp.asarray(seq), jnp.asarray(pooled),
+            jnp.asarray(adj), jnp.asarray(src_mask),
+            jnp.asarray(aspect_mask), rng=None, heads=heads)
+    np.testing.assert_allclose(np.asarray(logits), _t(want_logits),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(penal), float(want_penal), rtol=2e-5)
