@@ -1025,3 +1025,59 @@ def test_dualgcn_forward_parity_vs_reference(ref):
     np.testing.assert_allclose(np.asarray(logits), _t(want_logits),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(float(penal), float(want_penal), rtol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_probes():
+    """Import the reference probes package (flat intra-package imports →
+    the probes dir itself goes on sys.path)."""
+    probes_dir = os.path.join(REFERENCE, "probes")
+    if probes_dir not in sys.path:
+        sys.path.insert(0, probes_dir)
+    import constructLabel
+    import loss as ref_loss_mod
+    import probe_trainModel
+    return types.SimpleNamespace(constructLabel=constructLabel,
+                                 loss=ref_loss_mod,
+                                 trainModel=probe_trainModel)
+
+
+def test_probe_subsystem_parity_vs_reference(ref_probes):
+    """Probe oracle (C13): the reference's own OneWordPSDProbe →
+    ConstructLabelGaget → MSE pipeline (probes/probe_trainModel.py:15-26)
+    and CombineLoss gating (probes/loss.py:13-18) vs probe_loss /
+    construct_pseudo_labels / combine_loss with the same proj weights."""
+    from mtvaf_tpu.nn.probe import (combine_loss, construct_pseudo_labels,
+                                    probe_depths, probe_loss)
+
+    hid, rank, b, s = 32, 16, 3, 9
+    torch.manual_seed(21)
+    ref_probe = ref_probes.trainModel.probe(
+        {"probe": {"maximum_rank": rank}, "model": {"hidden_dim": hid}})
+    ref_probe.eval()
+
+    rs = np.random.RandomState(6)
+    hidden = rs.randn(b, s, hid).astype(np.float32)
+    with torch.no_grad():
+        want_loss = float(ref_probe(torch.tensor(hidden)))
+        want_norms = _t(ref_probe.oneWordpsdProbe(torch.tensor(hidden)))
+        want_labels = _t(ref_probe.constructLabel(
+            torch.tensor(want_norms)))
+
+    params = {"proj": jnp.asarray(_t(ref_probe.oneWordpsdProbe.proj))}
+    with jax.default_matmul_precision("highest"):
+        got_norms = probe_depths(params, jnp.asarray(hidden))
+        got_labels = construct_pseudo_labels(got_norms)
+        got_loss = probe_loss(params, jnp.asarray(hidden))
+    np.testing.assert_allclose(np.asarray(got_norms), want_norms,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_labels), want_labels)
+    np.testing.assert_allclose(float(got_loss), want_loss, rtol=1e-5)
+
+    # CombineLoss: beta * 2^-epoch gating on probe_loss > 0.1
+    comb = ref_probes.loss.CombineLoss(0.5)
+    for pl_val, epoch in ((0.05, 3), (0.7, 3), (0.7, 10)):
+        want = float(comb(torch.tensor(2.0), torch.tensor(pl_val), epoch))
+        got = float(combine_loss(jnp.asarray(2.0), jnp.asarray(pl_val),
+                                 0.5, epoch))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
