@@ -155,6 +155,10 @@ def test_dropout_vs_extracted_masks():
 
 
 if __name__ == "__main__":
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))     # repo root (run as a script)
     print("backend:", jax.default_backend())
     check_deterministic_and_gated()
     print("deterministic+gated: OK")
