@@ -114,9 +114,15 @@ def cross_host_sum(values, mesh: Mesh) -> np.ndarray:
     local[0] = values
     sh = NamedSharding(mesh, P("data"))
     g = jax.make_array_from_process_local_data(sh, local, (D,) + values.shape)
-    summed = jax.jit(lambda x: x.sum(0),
-                     out_shardings=NamedSharding(mesh, P()))(g)
-    return np.asarray(summed)
+    key = (mesh, values.shape)
+    fn = _CROSS_HOST_SUM_CACHE.get(key)
+    if fn is None:     # one compile per (mesh, shape), not one per call
+        fn = _CROSS_HOST_SUM_CACHE[key] = jax.jit(
+            lambda x: x.sum(0), out_shardings=NamedSharding(mesh, P()))
+    return np.asarray(fn(g))
+
+
+_CROSS_HOST_SUM_CACHE: dict = {}
 
 
 def local_batch_rows(x) -> np.ndarray:
