@@ -76,6 +76,23 @@ def main(coordinator: str, num_processes: int, process_id: int,
 
     trainer.train()
 
+    ckpt_ok = None
+    if pipeline == "crf":
+        # multi-process checkpoint roundtrip: every process participates in
+        # the process-coordinated orbax write to a SHARED directory, then
+        # restores and compares (num_processes=1 covers the plain path)
+        from mtvaf_tpu.core.checkpoint import wait_for_checkpoints
+        from mtvaf_tpu.train.resume import (load_latest_checkpoint,
+                                            save_epoch_checkpoint)
+        ck = os.path.join(data_dir, f"ckpt_np{num_processes}")
+        save_epoch_checkpoint(ck, trainer.state, 1, {"rng": [0, 1]})
+        wait_for_checkpoints()
+        state2, start_epoch, meta = load_latest_checkpoint(ck, trainer.state)
+        ckpt_ok = bool(state2 is not None and start_epoch == 2 and all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(trainer.state.params),
+                            jax.tree.leaves(state2.params))))
+
     # dev prediction through the (host-local on multi-process) eval mesh
     if pipeline == "crf":
         y_true, y_pred, dev_loss = trainer._predict(trainer.dev_dataset)
@@ -93,6 +110,7 @@ def main(coordinator: str, num_processes: int, process_id: int,
         "params_digest": digest,
         "first_leaf_sum": float(first_leaf.astype(np.float64).sum()),
         "train_f1": trainer.last_train_f1,   # cross-host-summed counts
+        "ckpt_ok": ckpt_ok,
         "y_pred": y_pred,
     }))
 

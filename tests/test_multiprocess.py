@@ -95,6 +95,9 @@ def test_two_process_epoch_matches_single_process(data_dir):
         assert r["train_f1"] is not None
         np.testing.assert_allclose(r["train_f1"], baseline["train_f1"],
                                    rtol=1e-9)
+        # process-coordinated orbax checkpoint roundtrips bit-exactly
+        assert r["ckpt_ok"] is True
+    assert baseline["ckpt_ok"] is True
     # both processes bitwise-agree with each other
     assert results[0]["params_digest"] == results[1]["params_digest"]
     assert results[0]["y_pred"] == results[1]["y_pred"]
