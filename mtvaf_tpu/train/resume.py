@@ -1,19 +1,53 @@
-"""Epoch-level checkpoint/resume for trainers.
+"""Epoch-level checkpoint/resume + graceful preemption for trainers.
 
 Beyond-reference capability (SURVEY.md §5: the reference saves only a
 best-dev state_dict and cannot resume): full train state (params + optimizer
 state + step) checkpointed per epoch via orbax, with a sidecar meta file
 carrying the epoch counter and best metrics.
+
+Preemption: checkpointing runs install a SIGTERM handler; on signal the
+trainer finishes the CURRENT epoch (epoch boundaries keep `--resume`
+bit-identical — data order is a pure function of seed+epoch), writes a
+checkpoint regardless of `--checkpoint_every`, and returns cleanly.  The
+maintenance-event drill for preemptible TPU pools.
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Optional, Tuple
 
 from ..core.checkpoint import (latest_checkpoint_step, load_checkpoint,
                                save_checkpoint, wait_for_checkpoints)
+
+logger = logging.getLogger(__name__)
+
+_STOP = {"flag": False}
+
+
+def install_preemption_handler() -> None:
+    """Catch SIGTERM (idempotent; main thread only — no-op elsewhere)."""
+    import signal
+    import threading
+    if threading.current_thread() is not threading.main_thread():
+        return
+
+    def _handler(signum, frame):
+        _STOP["flag"] = True
+        logger.warning("SIGTERM received — will checkpoint at the epoch "
+                       "boundary and exit cleanly")
+
+    signal.signal(signal.SIGTERM, _handler)
+
+
+def stop_requested() -> bool:
+    return _STOP["flag"]
+
+
+def clear_stop() -> None:
+    _STOP["flag"] = False
 
 
 def _ckpt_dir(save_path: str) -> str:

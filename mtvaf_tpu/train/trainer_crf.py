@@ -189,6 +189,9 @@ class CrfTrainer:
         cfg = self.cfg
         ds = self.train_dataset
         profiler = StepProfiler(cfg.profile_dir, num_steps=cfg.profile_steps)
+        if cfg.save_checkpoints and cfg.save_path:
+            from .resume import install_preemption_handler
+            install_preemption_handler()
         start_epoch = 1
         if cfg.resume and cfg.save_path:
             state, start_epoch, meta = load_latest_checkpoint(
@@ -308,13 +311,20 @@ class CrfTrainer:
             if epoch >= cfg.eval_begin_epoch:
                 self.evaluate(epoch)
                 self.test(epoch)
+            from .resume import stop_requested
             if cfg.save_checkpoints and cfg.save_path \
-                    and epoch % cfg.checkpoint_every == 0:
+                    and (epoch % cfg.checkpoint_every == 0
+                         or stop_requested()):
                 save_epoch_checkpoint(
                     cfg.save_path, self.state, epoch,
                     {"best_dev_metric": self.best_dev_metric,
                      "best_test_metric": self.best_test_metric,
                      "rng": np.asarray(self.rng).tolist()})
+            if stop_requested():
+                # graceful preemption: epoch-boundary checkpoint written
+                # above; --resume continues bit-identically from here
+                logger.info("preemption: stopping after epoch %d", epoch)
+                break
         if cfg.save_checkpoints:
             from ..core.checkpoint import wait_for_checkpoints
             wait_for_checkpoints()   # background writes land before return

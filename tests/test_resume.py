@@ -101,3 +101,53 @@ def test_checkpoint_every_throttles(tmp_path):
     ckpt = tmp_path / "out" / "ckpt"
     steps = sorted(n for n in os.listdir(ckpt) if n.startswith("step_"))
     assert steps == ["step_2", "step_4"]
+
+
+def test_graceful_preemption_sigterm(tmp_path):
+    """A REAL SIGTERM mid-training stops the trainer at the epoch boundary
+    with a checkpoint written (regardless of checkpoint_every), and a
+    resumed run is bit-identical to an uninterrupted one."""
+    import logging
+    import signal
+
+    from mtvaf_tpu.train import resume as resume_mod
+
+    d1 = tmp_path / "straight"
+    d1.mkdir()
+    t_straight = build(d1, num_epochs=3)
+    t_straight.train()
+
+    d2 = tmp_path / "preempted"
+    d2.mkdir()
+    t_a = build(d2, num_epochs=3)
+    # checkpoint_every=99: ONLY the preemption write may produce the ckpt
+    t_a.cfg = t_a.cfg.replace(checkpoint_every=99)
+
+    class _Sig(logging.Handler):
+        def emit(self, record):
+            if "epoch 1 train loss" in record.getMessage():
+                os.kill(os.getpid(), signal.SIGTERM)   # delivered in-process
+
+    resume_mod.clear_stop()
+    h = _Sig()
+    tlog = logging.getLogger("mtvaf_tpu.train.trainer_crf")
+    old_level = tlog.level
+    tlog.setLevel(logging.INFO)   # pytest roots at WARNING → INFO records
+    tlog.addHandler(h)            # would never reach the hook otherwise
+    try:
+        t_a.train()
+    finally:
+        tlog.removeHandler(h)
+        tlog.setLevel(old_level)
+        resume_mod.clear_stop()
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+
+    assert int(t_a.state.step) == 2            # stopped after epoch 1
+    assert os.path.isdir(d2 / "out" / "ckpt")  # preemption checkpoint
+
+    t_b = build(d2, num_epochs=3, resume=True)
+    t_b.train()
+    assert int(t_b.state.step) == int(t_straight.state.step) == 6
+    for x, y in zip(jax.tree.leaves(t_straight.state.params),
+                    jax.tree.leaves(t_b.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
