@@ -140,6 +140,29 @@ def local_batch_rows(x) -> np.ndarray:
     return np.concatenate([np.asarray(shards[k]) for k in sorted(shards)])
 
 
+def align_local_rows(rows: np.ndarray, n_local: int, accum: int,
+                     process_index: int) -> np.ndarray:
+    """Select THIS process's rows when a per-example fetch came back GLOBAL.
+
+    After a grad-accumulation step the per-example metrics are reshaped
+    (accum, micro, ...) → (batch, ...) in accum-major order, so process p's
+    rows of the global array sit at ``a·Bm + p·m_local + k`` — interleaved,
+    not a contiguous slice.  ``local_batch_rows`` already returns local rows
+    in the right order when the output stayed batch-sharded; this handles
+    the case where XLA materialized it replicated (all rows addressable) —
+    zipping the full array against local host rows would silently pair the
+    wrong examples on every process > 0."""
+    n_global = rows.shape[0]
+    if n_global == n_local:
+        return rows
+    m_local = n_local // accum
+    bm = n_global // accum
+    lo = process_index * m_local
+    idx = np.concatenate([np.arange(a * bm + lo, a * bm + lo + m_local)
+                          for a in range(accum)])
+    return rows[idx]
+
+
 def batch_spec(tree) -> object:
     """PartitionSpec tree sharding every leaf's leading dim over 'data'."""
     return jax.tree.map(lambda x: P("data"), tree)

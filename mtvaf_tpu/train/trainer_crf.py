@@ -275,7 +275,11 @@ class CrfTrainer:
                 with ThreadPoolExecutor(max_workers=4) as fetcher:
                     tags_np = list(fetcher.map(
                         local_batch_rows, [t for _, _, t in step_records]))
+            from ..core.mesh import align_local_rows
             for (batch, valid, _), tags in zip(step_records, tags_np):
+                tags = align_local_rows(tags, len(batch["label_ids"]),
+                                        cfg.gradient_accumulation_steps,
+                                        self.process_index)
                 yt, yp = labels_to_tags(
                     batch["label_ids"], batch["input_mask"],
                     self.inv_label_map, tags)

@@ -262,8 +262,13 @@ class SpanTrainer:
                         lambda t: local_batch_rows(t) if t is not None
                         else None,
                         [r[2] for r in step_records]))
+            from ..core.mesh import align_local_rows
             all_results = []
             for (batch, valid, _), ac in zip(step_records, ac_np):
+                if ac is not None:
+                    ac = align_local_rows(ac, len(batch["example_index"]),
+                                          cfg.gradient_accumulation_steps,
+                                          self.process_index)
                 ac_pred = ac.argmax(axis=-1) if ac is not None else None
                 for j_idx, ex_idx in enumerate(batch["example_index"]):
                     if not valid[j_idx]:

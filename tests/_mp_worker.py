@@ -42,11 +42,13 @@ def main(coordinator: str, num_processes: int, process_id: int,
     from mtvaf_tpu.train.trainer_span import SpanTrainer
 
     tokenizer = FullTokenizer(os.path.join(data_dir, "vocab.txt"))
-    if pipeline == "crf":
+    if pipeline.startswith("crf"):
         cfg = Config(dataset_name="twitter2015", max_seq=24,
                      train_batch_size=8, eval_batch_size=8, num_epochs=1,
                      eval_begin_epoch=99, bf16=False, num_anp_classes=8,
-                     lr=1e-3, mesh_data=4, seed=13)
+                     lr=1e-3, mesh_data=4, seed=13,
+                     gradient_accumulation_steps=2
+                     if pipeline == "crf_accum" else 1)
         bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
         ds = CrfDataset.load(cfg, tokenizer,
                              os.path.join(data_dir, "train.txt"),
@@ -77,7 +79,7 @@ def main(coordinator: str, num_processes: int, process_id: int,
     trainer.train()
 
     ckpt_ok = None
-    if pipeline == "crf":
+    if pipeline.startswith("crf"):
         # multi-process checkpoint roundtrip: every process participates in
         # the process-coordinated orbax write to a SHARED directory, then
         # restores and compares (num_processes=1 covers the plain path)
@@ -94,7 +96,7 @@ def main(coordinator: str, num_processes: int, process_id: int,
                             jax.tree.leaves(state2.params))))
 
     # dev prediction through the (host-local on multi-process) eval mesh
-    if pipeline == "crf":
+    if pipeline.startswith("crf"):
         y_true, y_pred, dev_loss = trainer._predict(trainer.dev_dataset)
     else:
         results = trainer._predict(trainer.dev_dataset)

@@ -228,3 +228,21 @@ def test_cross_host_sum_single_process_identity():
                        jax.sharding.NamedSharding(mesh, P("data")))
     np.testing.assert_array_equal(local_batch_rows(x),
                                   np.arange(12).reshape(4, 3))
+
+
+def test_align_local_rows():
+    from mtvaf_tpu.core.mesh import align_local_rows
+    # already local → identity
+    x = np.arange(8)
+    np.testing.assert_array_equal(align_local_rows(x, 8, 2, 1), x)
+    # global, accum=2, 2 processes, 8 global rows (accum-major order):
+    # micro rows per process = 2; process 1 owns micro rows 2,3 of each
+    # accum step → global rows 2,3 (a=0) and 6,7 (a=1)
+    g = np.arange(8) * 10
+    np.testing.assert_array_equal(align_local_rows(g, 4, 2, 1),
+                                  [20, 30, 60, 70])
+    np.testing.assert_array_equal(align_local_rows(g, 4, 2, 0),
+                                  [0, 10, 40, 50])
+    # accum=1: contiguous slice
+    np.testing.assert_array_equal(align_local_rows(g, 4, 1, 1),
+                                  [40, 50, 60, 70])

@@ -117,3 +117,28 @@ def test_two_process_span_epoch_matches_single_process(data_dir):
         np.testing.assert_allclose(r["train_f1"], baseline["train_f1"],
                                    rtol=1e-9)
         assert r["y_pred"] == baseline["y_pred"]
+
+
+def test_two_process_accum_epoch_matches_single_process(data_dir):
+    """mesh x grad-accum x multi-host: per-example metric rows are
+    accum-major interleaved across processes (core.mesh.align_local_rows);
+    train F1 and params must still match single-process.
+
+    Tolerances: the accumulated-grad psum reduces hierarchically (2+2
+    devices) vs flat on one process, and AdamW amplifies that fp noise to
+    ±lr on near-zero gradients (see test_trainer_sharding) — params agree
+    to ~1e-4 rel, not bitwise.  A metric-row MISALIGNMENT (the bug this
+    guards) pairs predictions with the wrong examples and moves F1 by far
+    more than the 0.05 window."""
+    baseline = _run_workers(1, data_dir, "unused", pipeline="crf_accum")[0]
+    coordinator = f"localhost:{_free_port()}"
+    results = _run_workers(2, data_dir, coordinator, pipeline="crf_accum")
+    for r in results:
+        assert r["step"] == baseline["step"]
+        np.testing.assert_allclose(r["params_digest"],
+                                   baseline["params_digest"], rtol=1e-4)
+        assert r["train_f1"] is not None
+        assert abs(r["train_f1"] - baseline["train_f1"]) < 0.05
+    # both processes agree with each other exactly (same global program)
+    assert results[0]["params_digest"] == results[1]["params_digest"]
+    assert results[0]["train_f1"] == results[1]["train_f1"]
