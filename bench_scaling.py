@@ -13,7 +13,7 @@ import json
 import time
 
 WARMUP = 3
-MEASURE = 10
+MEASURE = 20
 
 
 def _time(step, state, batch, b):
@@ -68,8 +68,10 @@ def main():
 
     base = BertConfig.base()
     run("flagship_b32", base, 32)          # the parity point
-    run("flagship_b128", base, 128)
-    run("flagship_b256", base, 256)
+    run("flagship_b64", base, 64)
+    run("flagship_b128", base, 128)        # b256 exceeds 16G HBM (the XLA
+                                           # train path stashes attention
+                                           # probs; use --remat beyond b128)
     large = dataclasses.replace(base, hidden_size=1024, num_hidden_layers=24,
                                 num_attention_heads=16,
                                 intermediate_size=4096)
