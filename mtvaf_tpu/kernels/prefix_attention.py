@@ -268,19 +268,27 @@ def prefix_flash_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     return _attention(q, k, v, bias, _ZERO_SEED, scale, 0.0)
 
 
-# Below this sequence length the plain XLA lowering is measured faster than
-# the Pallas kernel on v5e (s=128: ~822 vs ~787 ex/s flagship, BENCH_ABLATE);
-# at long sequence the flash kernel wins (s=512: 208 vs 194 ex/s) and avoids
-# materializing the (S, T) probs in HBM for the backward (~5 GB at s=512 b32).
-_PALLAS_MIN_SEQ = 256
+# Dispatch crossover: the XLA train lowering stashes the fp32 (B, H, S, T)
+# attention probs per layer for the backward; once that stash dominates HBM
+# bandwidth (or capacity) the flash kernel — which recomputes probs from the
+# saved lse — wins.  Measured on v5e (flagship, BENCH_SCALING/longseq):
+#   b32·s128 (B·S·T=0.6M):  XLA 840-878 vs flash ~790   → XLA
+#   b64·s128 (1.2M):        XLA 949    vs flash 902     → XLA
+#   b128·s128 (2.4M):       XLA 772    vs flash 860     → flash (+11%)
+#   b32·s512 (8.7M):        XLA OOMs 16G vs flash 201   → flash
+# Crossover sits between 1.2M and 2.4M B·S·T elements.
+_PALLAS_MIN_STASH = 2 * 1024 * 1024
 
 
 def adaptive_attention(q, k, v, bias, *, dropout_rate: float = 0.0, rng=None):
-    """Shape-adaptive ``attention_impl``: XLA for short sequences, the Pallas
-    flash kernel for long.  Shapes are static under jit, so the dispatch
-    resolves at trace time with zero runtime cost."""
+    """Shape-adaptive ``attention_impl``: XLA below the stash crossover,
+    the Pallas flash kernel above (long sequence OR large batch).  Shapes
+    are static under jit, so the dispatch resolves at trace time with zero
+    runtime cost."""
     from ..nn.bert import xla_attention
-    if q.shape[2] < _PALLAS_MIN_SEQ:
+    b, _, s, _ = q.shape
+    t = k.shape[2]
+    if b * s * t < _PALLAS_MIN_STASH:
         return xla_attention(q, k, v, bias, dropout_rate=dropout_rate,
                              rng=rng)
     return prefix_flash_attention(q, k, v, bias, dropout_rate=dropout_rate,

@@ -78,9 +78,11 @@ def test_partial_head_blocks_match_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-def test_adaptive_dispatch_by_seq_length(monkeypatch):
-    """adaptive_attention routes short sequences to XLA, long to the kernel
-    (trace-time static-shape dispatch; thresholds measured in BENCH_ABLATE)."""
+def test_adaptive_dispatch_by_stash_volume(monkeypatch):
+    """adaptive_attention routes below-crossover shapes to XLA and
+    above-crossover (long sequence OR large batch: B*S*T >= 2M) to the
+    kernel — trace-time static dispatch; crossover measured in
+    BENCH_SCALING / BENCH_LONGSEQ."""
     from mtvaf_tpu.kernels import prefix_attention as pa
 
     calls = []
@@ -89,13 +91,24 @@ def test_adaptive_dispatch_by_seq_length(monkeypatch):
         lambda q, k, v, bias, **kw: calls.append("pallas") or
         xla_attention(q, k, v, bias))
 
-    q, k, v, bias = make_inputs(S=16, P=4)           # short -> XLA
+    q, k, v, bias = make_inputs(S=16, P=4)           # tiny -> XLA
     out = pa.adaptive_attention(q, k, v, bias)
     assert calls == [] and out.shape == q.shape
 
-    q, k, v, bias = make_inputs(S=pa._PALLAS_MIN_SEQ, P=4)   # long -> kernel
-    out = pa.adaptive_attention(q, k, v, bias)
-    assert calls == ["pallas"] and out.shape == q.shape
+    # reference scale b32 s128 (B*S*T = 0.6M) -> XLA
+    q, k, v, bias = make_inputs(B=32, S=128, P=16, D=4)
+    pa.adaptive_attention(q, k, v, bias)
+    assert calls == []
+
+    # long sequence at small batch -> kernel
+    q, k, v, bias = make_inputs(B=32, S=512, P=16, D=4)
+    pa.adaptive_attention(q, k, v, bias)
+    assert calls == ["pallas"]
+
+    # LARGE BATCH at short sequence (b128 s128: 2.4M) -> kernel
+    q, k, v, bias = make_inputs(B=128, S=128, P=16, D=4)
+    pa.adaptive_attention(q, k, v, bias)
+    assert calls == ["pallas", "pallas"]
 
 
 def test_backward_multi_chunk_matches_xla():
