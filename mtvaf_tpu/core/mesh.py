@@ -39,6 +39,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Size of the 'data' axis (1 if the mesh has no such axis)."""
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+
+
+def mesh_addressable(mesh: Mesh) -> bool:
+    """True iff every mesh device belongs to THIS process (single-host
+    meshes and host-local eval meshes)."""
+    pid = jax.process_index()
+    return all(d.process_index == pid for d in mesh.devices.flat)
+
+
 def auto_data_axis(n_devices: int, *batch_sizes: int) -> int:
     """Largest data-parallel axis ≤ n_devices that divides every batch size.
 
@@ -67,7 +79,7 @@ def put_global_batch(batch: dict, mesh: Mesh, batch_dim: int = 0) -> dict:
     spec = P(*([None] * batch_dim), "data")
     sh = NamedSharding(mesh, spec)
     rep = NamedSharding(mesh, P())
-    data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    data_size = data_axis_size(mesh)
 
     def leaf_sharding(v):
         # a leaf whose batch dim the data axis does not divide (or that has
@@ -79,8 +91,7 @@ def put_global_batch(batch: dict, mesh: Mesh, batch_dim: int = 0) -> dict:
     device_leaves = {k: v for k, v in batch.items()
                      if isinstance(v, jax.Array)}   # already placed (guides)
     batch = {k: v for k, v in batch.items() if k not in device_leaves}
-    if all(d.process_index == jax.process_index()
-           for d in mesh.devices.flat):   # fully addressable (incl. 1-host)
+    if mesh_addressable(mesh):            # incl. 1-host
         out = {k: jax.device_put(np.asarray(v), leaf_sharding(np.asarray(v)))
                for k, v in batch.items()}
         out.update(device_leaves)
@@ -106,7 +117,7 @@ def cross_host_sum(values, mesh: Mesh) -> np.ndarray:
     values = np.asarray(values, np.float32)
     if jax.process_count() == 1:
         return values
-    D = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    D = data_axis_size(mesh)
     procs = jax.process_count()
     if D % procs != 0:
         raise ValueError(f"data axis {D} not divisible by {procs} processes")

@@ -47,7 +47,9 @@ def _keep_mask(shape, rate):
 
 # KV-dimension chunk width for the backward pass (and the dropout-mask draw
 # granularity in BOTH passes — masks are drawn per chunk so the two passes
-# agree no matter how each one blocks heads).  128 = one lane tile.
+# agree no matter how each one blocks heads).  Two 128-lane tiles; the
+# backward's VMEM budget (_heads_per_program_bwd) assumes (S, _T_CHUNK)
+# intermediates.
 _T_CHUNK = 256
 
 

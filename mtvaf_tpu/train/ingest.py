@@ -54,15 +54,6 @@ def _width_types() -> Dict[int, object]:
 _UNPACK_CACHE: Dict[tuple, object] = {}
 
 
-def _data_axis_size(mesh: Mesh) -> int:
-    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
-
-
-def _mesh_addressable(mesh: Mesh) -> bool:
-    pid = jax.process_index()
-    return all(d.process_index == pid for d in mesh.devices.flat)
-
-
 def _fallback_put(host: Dict, mesh: Optional[Mesh], batch_dim: int) -> Dict:
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in host.items()}
@@ -90,12 +81,17 @@ def pack_and_put(out: Dict, mesh: Optional[Mesh] = None,
         return placed
 
     widths = _width_types()
-    shards = 1 if mesh is None else _data_axis_size(mesh)
-    addressable = mesh is None or _mesh_addressable(mesh)
+    from ..core.mesh import data_axis_size, mesh_addressable
+    shards = 1 if mesh is None else data_axis_size(mesh)
+    addressable = mesh is None or mesh_addressable(mesh)
     pcount = 1 if addressable else jax.process_count()
     local_shards = shards // pcount
     bad = (shards % pcount != 0 or local_shards < 1
-           or any(v.dtype.itemsize not in widths for v in host.values())
+           or any(v.dtype.itemsize not in widths
+                  or v.dtype.kind not in "fiub"   # e.g. ml_dtypes bf16 is
+                  # kind 'V': np.dtype(str) would NOT round-trip it and the
+                  # unpack's astype would value-convert raw bit patterns
+                  for v in host.values())
            or any(v.ndim <= batch_dim
                   or v.shape[batch_dim] % local_shards != 0
                   for v in host.values()))
@@ -234,7 +230,8 @@ class GuideCache:
         self._rep = NamedSharding(mesh, P()) if mesh is not None else None
         self._dev_main = None      # (N, 4, C) bf16 on device
         self._dev_aux = None       # (N, 3, 4, C) bf16 on device
-        self._dev_rows: dict = {}  # key -> row index
+        self._dev_rows: "OrderedDict[tuple, int]" = OrderedDict()  # key->row
+        #                (insertion/recency order drives LRU row reuse)
         self._table_full_warned = False
         insert_kw = dict(donate_argnums=(0, 1))
         if self._rep is not None:
@@ -264,20 +261,29 @@ class GuideCache:
         return fn(self._dev_main, self._dev_aux, jnp.asarray(idx, jnp.int32))
 
     def _dev_put(self, key: tuple, value: tuple) -> bool:
-        """Insert one image's guides into the device table; False if full."""
+        """Insert one image's guides into the device table (LRU row reuse
+        when full — eval/test images cannot permanently crowd out train
+        images); False only when the table is disabled."""
         if self.device_items <= 0:
             return False
         if key in self._dev_rows:
+            self._dev_rows.move_to_end(key)
             return True
         if len(self._dev_rows) >= self.device_items:
+            # evict the least-recently-used key and reuse its row (each
+            # re-insert is one ~123 KB upload — still ~60x cheaper than a
+            # full host-guide batch; safe because every gather captures
+            # the table version it was dispatched with)
+            _, row = self._dev_rows.popitem(last=False)
             if not self._table_full_warned:
                 self._table_full_warned = True
                 logger.warning(
-                    "device guide table full (%d rows): batches containing "
-                    "non-resident images fall back to host guide upload — "
-                    "raise --guide_cache_device_items to keep the packed "
-                    "fast path", self.device_items)
-            return False
+                    "device guide table full (%d rows): evicting LRU rows; "
+                    "raise --guide_cache_device_items if the working set "
+                    "exceeds the table (one re-insert per evicted image "
+                    "per revisit)", self.device_items)
+        else:
+            row = len(self._dev_rows)
         main, aux = value
         if self._dev_main is None:
             zm = jnp.zeros((self.device_items,) + main.shape, jnp.bfloat16)
@@ -286,7 +292,6 @@ class GuideCache:
                 zm = jax.device_put(zm, self._rep)
                 za = jax.device_put(za, self._rep)
             self._dev_main, self._dev_aux = zm, za
-        row = len(self._dev_rows)
         self._dev_main, self._dev_aux = self._dev_insert(
             self._dev_main, self._dev_aux, row,
             jnp.asarray(main, jnp.bfloat16), jnp.asarray(aux, jnp.bfloat16))
@@ -363,13 +368,16 @@ class GuideCache:
                 local[k] = (mg[j], ag[j])
                 self._put(k, local[k])
         if self.device_items > 0:
-            # ensure a device row per key (one-time ~123 KB bf16 upload
-            # each); non-short-circuiting so a full table still inserts
-            # nothing silently but every insertable key of the batch lands.
+            # ensure a device row per key (one ~123 KB bf16 upload each;
+            # LRU reuse when full).  A batch with more unique images than
+            # the table self-evicts during the insert loop — the final
+            # membership check catches that and falls back to host guides.
             all_resident = True
             for k in dict.fromkeys(keys):
                 if not self._dev_put(k, local[k]):
                     all_resident = False
+            all_resident = all_resident and all(
+                k in self._dev_rows for k in keys)
             if all_resident:
                 idx = np.asarray([self._dev_rows[k] for k in keys], np.int32)
                 if accum > 1:

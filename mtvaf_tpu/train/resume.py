@@ -27,19 +27,35 @@ logger = logging.getLogger(__name__)
 _STOP = {"flag": False}
 
 
-def install_preemption_handler() -> None:
-    """Catch SIGTERM (idempotent; main thread only — no-op elsewhere)."""
+def install_preemption_handler():
+    """Catch SIGTERM; returns the previous handler so the caller can
+    restore it with :func:`uninstall_preemption_handler` when training
+    ends (otherwise a post-train SIGTERM would be swallowed).  Main
+    thread only — returns None (no-op) elsewhere.  Also clears any stale
+    stop flag so a second train() in the same process starts clean."""
     import signal
     import threading
     if threading.current_thread() is not threading.main_thread():
-        return
+        return None
+    _STOP["flag"] = False
 
     def _handler(signum, frame):
         _STOP["flag"] = True
         logger.warning("SIGTERM received — will checkpoint at the epoch "
                        "boundary and exit cleanly")
 
-    signal.signal(signal.SIGTERM, _handler)
+    return signal.signal(signal.SIGTERM, _handler)
+
+
+def uninstall_preemption_handler(previous) -> None:
+    """Restore the pre-train SIGTERM disposition (main thread only)."""
+    import signal
+    import threading
+    if threading.current_thread() is not threading.main_thread():
+        return
+    signal.signal(signal.SIGTERM,
+                  previous if previous is not None else signal.SIG_DFL)
+    _STOP["flag"] = False
 
 
 def stop_requested() -> bool:

@@ -163,6 +163,20 @@ class SpanTrainer:
         return pack_and_put(out, mesh=mesh,
                             batch_dim=1 if accum > 1 else 0)
 
+    def _should_stop(self) -> bool:
+        """Cross-host-agreed preemption decision: SIGTERM delivery is
+        per-process, so the flag is all-reduced — every host takes the
+        SAME branch (any host signalled → all stop), or the signalled
+        host would enter a coordinated checkpoint/exit the others never
+        join (distributed deadlock)."""
+        from .resume import stop_requested
+        flag = stop_requested()
+        if self.process_count > 1 and self.mesh is not None:
+            from ..core.mesh import cross_host_sum
+            flag = float(cross_host_sum(
+                np.asarray([1.0 if flag else 0.0]), self.mesh)[0]) > 0
+        return flag
+
     # ------------------------------------------------------------------
     def load_pretrained(self, load_path: str):
         """NER-transplant warm start (reference modules/train.py:495-521)."""
@@ -179,9 +193,11 @@ class SpanTrainer:
         cfg = self.cfg
         ds = self.train_dataset
         profiler = StepProfiler(cfg.profile_dir, num_steps=cfg.profile_steps)
+        NO_HANDLER = object()
+        preempt_prev = NO_HANDLER
         if cfg.save_checkpoints and cfg.save_path:
             from .resume import install_preemption_handler
-            install_preemption_handler()
+            preempt_prev = install_preemption_handler()
         start_epoch = 1
         if cfg.resume and cfg.save_path:
             state, start_epoch, meta = load_latest_checkpoint(
@@ -318,15 +334,14 @@ class SpanTrainer:
                 self._write_json(nbest, "train_predictions.json")
             if epoch >= cfg.eval_begin_epoch:
                 self.evaluate(epoch)
-            from .resume import stop_requested
+            stopping = self._should_stop()
             if cfg.save_checkpoints and cfg.save_path \
-                    and (epoch % cfg.checkpoint_every == 0
-                         or stop_requested()):
+                    and (epoch % cfg.checkpoint_every == 0 or stopping):
                 save_epoch_checkpoint(
                     cfg.save_path, self.state, epoch,
                     {"best_dev_metric": self.best_dev_metric,
                      "rng": np.asarray(self.rng).tolist()})
-            if stop_requested():
+            if stopping:
                 # graceful preemption: epoch-boundary checkpoint written
                 # above; --resume continues bit-identically from here
                 logger.info("preemption: stopping after epoch %d", epoch)
@@ -334,6 +349,9 @@ class SpanTrainer:
         if cfg.save_checkpoints:
             from ..core.checkpoint import wait_for_checkpoints
             wait_for_checkpoints()   # background writes land before return
+        if preempt_prev is not NO_HANDLER:
+            from .resume import uninstall_preemption_handler
+            uninstall_preemption_handler(preempt_prev)
         return self.best_dev_metric
 
     # ------------------------------------------------------------------

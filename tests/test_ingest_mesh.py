@@ -246,3 +246,51 @@ def test_align_local_rows():
     # accum=1: contiguous slice
     np.testing.assert_array_equal(align_local_rows(g, 4, 1, 1),
                                   [40, 50, 60, 70])
+
+
+def test_guide_table_lru_eviction(tmp_path):
+    """A full device table evicts LRU rows instead of permanently refusing
+    inserts (eval images must not crowd train images off the fast path);
+    a batch larger than the table still falls back to host guides."""
+    from mtvaf_tpu.data.images import ImageStore
+
+    img_ids = [f"{300 + i}.jpg" for i in range(6)]
+    img_dir = tmp_path / "imgs"
+    make_images(str(img_dir), img_ids, size=96)
+    store = ImageStore(str(img_dir))
+    resnet_params = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    host = GuideCache(resnet_params, 18, device_items=0)
+
+    gc = GuideCache(resnet_params, 18, device_items=4)
+    first4, last4 = img_ids[:4], img_ids[2:]
+    m1, _ = gc.batch(first4, store)
+    assert isinstance(m1, jax.Array)                  # resident
+    m2, _ = gc.batch(last4, store)                    # evicts the 2 LRU rows
+    assert isinstance(m2, jax.Array)
+    assert len(gc._dev_rows) == 4
+    # evicted keys re-insert on revisit and values survive the round trip
+    m3, _ = gc.batch(first4, store)
+    assert isinstance(m3, jax.Array)
+    hm, _ = host.batch(first4, store)
+    np.testing.assert_array_equal(np.asarray(m3), np.asarray(hm, jnp.bfloat16))
+
+    # batch with more unique images than the table → host fallback (the
+    # insert loop would self-evict; membership check catches it)
+    m4, _ = gc.batch(img_ids, store)
+    assert isinstance(m4, np.ndarray)
+
+
+def test_pack_and_put_void_dtype_falls_back():
+    """Non-fiub dtypes (e.g. ml_dtypes bfloat16 arrays, numpy kind 'V')
+    must not take the bitcast pack path — np.dtype(str) would not
+    round-trip them and astype would value-convert raw bit patterns."""
+    import ml_dtypes
+    v = np.asarray([1.5, -2.25, 3.0], dtype=ml_dtypes.bfloat16)
+    assert v.dtype.kind == "V"
+    out = pack_and_put({"x": v, "y": np.arange(3, dtype=np.int32)})
+    np.testing.assert_array_equal(np.asarray(out["x"], v.dtype), v)
+    np.testing.assert_array_equal(np.asarray(out["y"]), np.arange(3))
+    mesh = make_mesh(data=1, model=1)
+    out = pack_and_put({"x": v.reshape(3, 1)}, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(out["x"], v.dtype), v.reshape(3, 1))
