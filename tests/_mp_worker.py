@@ -43,10 +43,17 @@ def main(coordinator: str, num_processes: int, process_id: int,
 
     tokenizer = FullTokenizer(os.path.join(data_dir, "vocab.txt"))
     if pipeline.startswith("crf"):
+        preempt = pipeline == "crf_preempt"
         cfg = Config(dataset_name="twitter2015", max_seq=24,
-                     train_batch_size=8, eval_batch_size=8, num_epochs=1,
+                     train_batch_size=8, eval_batch_size=8,
+                     num_epochs=3 if preempt else 1,
                      eval_begin_epoch=99, bf16=False, num_anp_classes=8,
                      lr=1e-3, mesh_data=4, seed=13,
+                     save_checkpoints=preempt,
+                     # one SHARED dir: orbax coordinates the multi-process
+                     # write to a single path (meta sidecars are identical)
+                     save_path=os.path.join(data_dir, "preempt_out")
+                     if preempt else None,
                      gradient_accumulation_steps=2
                      if pipeline == "crf_accum" else 1)
         bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
@@ -75,6 +82,25 @@ def main(coordinator: str, num_processes: int, process_id: int,
                    for d in trainer.mesh.devices.flat)
         assert all(d.process_index == jax.process_index()
                    for d in trainer.eval_mesh.devices.flat)
+
+    if pipeline == "crf_preempt":
+        # SIGTERM ONLY process 0 at the end of epoch 1: the cross-host
+        # agreed stop (trainer._should_stop) must make BOTH processes
+        # checkpoint and stop after the same epoch — divergent stop
+        # decisions would deadlock the coordinated save/collectives
+        # (caught by the test's subprocess timeout).
+        import logging
+        import signal
+
+        class _Sig(logging.Handler):
+            def emit(self, record):
+                if ("epoch 1 train loss" in record.getMessage()
+                        and process_id == 0):
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+        tlog = logging.getLogger("mtvaf_tpu.train.trainer_crf")
+        tlog.setLevel(logging.INFO)
+        tlog.addHandler(_Sig())
 
     trainer.train()
 

@@ -142,3 +142,15 @@ def test_two_process_accum_epoch_matches_single_process(data_dir):
     # both processes agree with each other exactly (same global program)
     assert results[0]["params_digest"] == results[1]["params_digest"]
     assert results[0]["train_f1"] == results[1]["train_f1"]
+
+
+def test_two_process_preemption_agrees(data_dir):
+    """SIGTERM delivered to ONLY process 0 mid-training: the cross-host
+    agreed stop must make BOTH processes checkpoint and stop after the
+    same epoch — a divergent stop decision would deadlock the coordinated
+    save/collectives (and trip this test's subprocess timeout)."""
+    coordinator = f"localhost:{_free_port()}"
+    results = _run_workers(2, data_dir, coordinator, pipeline="crf_preempt")
+    # 16 examples / batch 8 = 2 steps/epoch; stop at end of epoch 1
+    assert results[0]["step"] == results[1]["step"] == 2
+    assert os.path.isdir(os.path.join(data_dir, "preempt_out", "ckpt"))
