@@ -106,6 +106,30 @@ def put_global_batch(batch: dict, mesh: Mesh, batch_dim: int = 0) -> dict:
     return out
 
 
+def host_local_submesh(mesh: Mesh) -> Optional[Mesh]:
+    """The contiguous block of 'data' rows owned ENTIRELY by this process,
+    as a host-local mesh with the same axis names.
+
+    Lets per-host state (e.g. the device-resident guide table,
+    train/ingest.GuideCache) live on this host's slice of a multi-host mesh
+    and produce shards that slot straight into global batch-sharded arrays
+    (``jax.make_array_from_single_device_arrays``).  Returns None when the
+    process's devices do not form whole, contiguous data rows (e.g. a model
+    axis spanning hosts) — callers must fall back to a host-side path."""
+    pid = jax.process_index()
+    dev = mesh.devices
+    if dev.ndim != 2:
+        return None
+    rows = [r for r in range(dev.shape[0])
+            if all(d.process_index == pid for d in dev[r])]
+    if not rows or rows != list(range(rows[0], rows[0] + len(rows))):
+        return None
+    local = {d for d in dev.flat if d.process_index == pid}
+    if {d for r in rows for d in dev[r]} != local:
+        return None
+    return Mesh(dev[rows[0]:rows[0] + len(rows)], mesh.axis_names)
+
+
 def cross_host_sum(values, mesh: Mesh) -> np.ndarray:
     """Sum a small host vector across processes (host-level all-reduce).
 

@@ -208,6 +208,14 @@ class GuideCache:
     * with ``mesh`` set, the table lives replicated over the mesh and the
       gather emits arrays already sharded over 'data' (at dim ``accum>1``
       aware), so the fast path and the SPMD scale path are the same path.
+    * on a MULTI-HOST mesh each process keeps its own table on its local
+      data rows (``core.mesh.host_local_submesh``): gathers run
+      process-locally and the shards are assembled into the global
+      batch-sharded array with ``jax.make_array_from_single_device_arrays``
+      — each host only ever holds guides for the images ITS data shard
+      visits, and no guide bytes cross hosts (the reference instead
+      recomputes 4 ResNet forwards per step on every rank,
+      modules/train.py:341).
     """
 
     def __init__(self, resnet_params, depth: int, *, max_items: int = 8192,
@@ -224,10 +232,30 @@ class GuideCache:
         self.cache_dir = cache_dir
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
-        # device guide table (lazy-allocated at first insert)
+        # device guide table (lazy-allocated at first insert); on multi-host
+        # meshes it lives on THIS host's submesh and gathers assemble global
         self.device_items = int(device_items)
         self.mesh = mesh
-        self._rep = NamedSharding(mesh, P()) if mesh is not None else None
+        self._store_mesh = mesh
+        self._assemble_global = False
+        if mesh is not None:
+            from ..core.mesh import host_local_submesh, mesh_addressable
+            if not mesh_addressable(mesh):
+                sub = host_local_submesh(mesh)
+                if sub is None:
+                    if self.device_items > 0:
+                        logger.warning(
+                            "device guide table disabled: this process's "
+                            "devices do not form whole contiguous data rows "
+                            "of the mesh (host-path guides will upload per "
+                            "batch)")
+                    self.device_items = 0
+                    self._store_mesh = None
+                else:
+                    self._store_mesh = sub
+                    self._assemble_global = True
+        store = self._store_mesh
+        self._rep = NamedSharding(store, P()) if store is not None else None
         self._dev_main = None      # (N, 4, C) bf16 on device
         self._dev_aux = None       # (N, 3, 4, C) bf16 on device
         self._dev_rows: "OrderedDict[tuple, int]" = OrderedDict()  # key->row
@@ -247,18 +275,40 @@ class GuideCache:
         Under a mesh the output comes out sharded over 'data' at the batch
         dim (the last idx dim) — a gather from a replicated table into a
         batch-sharded result is local on every device, so no guide bytes
-        cross the ICI either."""
+        cross the ICI either.  Multi-host: the gather runs on this host's
+        submesh (its contiguous data rows) and the per-device shards are
+        assembled into the global batch-sharded array without any copy."""
         fn = self._gather_fns.get(idx.ndim)
         if fn is None:
             kw = {}
-            if self.mesh is not None:
+            if self._store_mesh is not None:
                 out = NamedSharding(
-                    self.mesh, P(*([None] * (idx.ndim - 1)), "data"))
+                    self._store_mesh, P(*([None] * (idx.ndim - 1)), "data"))
                 kw["out_shardings"] = (out, out)
             fn = self._gather_fns[idx.ndim] = jax.jit(
                 lambda tm, ta, i: (jnp.take(tm, i, axis=0),
                                    jnp.take(ta, i, axis=0)), **kw)
-        return fn(self._dev_main, self._dev_aux, jnp.asarray(idx, jnp.int32))
+        main, aux = fn(self._dev_main, self._dev_aux,
+                       jnp.asarray(idx, jnp.int32))
+        if self._assemble_global:
+            bd = idx.ndim - 1
+            main = self._to_global(main, bd)
+            aux = self._to_global(aux, bd)
+        return main, aux
+
+    def _to_global(self, x, bd: int):
+        """Slot this host's submesh-sharded gather result into the GLOBAL
+        batch-sharded array: each local device's shard is already the shard
+        the global sharding expects on that device (the submesh is the
+        process's contiguous slice of the global data axis), so the global
+        array is assembled from the existing per-device buffers — zero
+        copies, zero host bytes, zero collectives."""
+        from ..core.mesh import data_axis_size
+        factor = data_axis_size(self.mesh) // data_axis_size(self._store_mesh)
+        gshape = (x.shape[:bd] + (x.shape[bd] * factor,) + x.shape[bd + 1:])
+        gsh = NamedSharding(self.mesh, P(*([None] * bd), "data"))
+        return jax.make_array_from_single_device_arrays(
+            gshape, gsh, [s.data for s in x.addressable_shards])
 
     def _dev_put(self, key: tuple, value: tuple) -> bool:
         """Insert one image's guides into the device table (LRU row reuse
@@ -330,17 +380,56 @@ class GuideCache:
             return value
         return None
 
-    def batch(self, image_ids, store, accum: int = 1):
+    _UNSET = object()
+
+    def batch(self, image_ids, store, accum: int = 1, for_mesh=_UNSET):
         """Guides for a batch of image ids: (main, aux) arrays.
 
         Returns DEVICE arrays (bf16, gathered from the resident table,
         micro-batched to ``(accum, bsz/accum, ...)`` when ``accum > 1`` and
         batch-sharded when a mesh is set) when every id has a table row,
-        host fp32 ``(bsz, ...)`` arrays otherwise."""
+        host fp32 ``(bsz, ...)`` arrays otherwise.  ``for_mesh`` names the
+        mesh the batch is headed for: when it is not the mesh the table was
+        built for (multi-host eval runs on a HOST-LOCAL mesh) the table is
+        bypassed and host guides are returned."""
+        if for_mesh is not GuideCache._UNSET and for_mesh is not self.mesh:
+            return self._host_batch(image_ids, store)
         skey = self._store_key(store)
         keys = [(skey, i) for i in image_ids]
-        # Hold this call's values locally so LRU eviction mid-batch (when
-        # max_items < unique ids per batch) can never drop a needed entry.
+        local = self._fill(keys, store)
+        if self.device_items > 0:
+            # ensure a device row per key (one ~123 KB bf16 upload each;
+            # LRU reuse when full).  A batch with more unique images than
+            # the table self-evicts during the insert loop — the final
+            # membership check catches that and falls back to host guides.
+            all_resident = True
+            for k in dict.fromkeys(keys):
+                if not self._dev_put(k, local[k]):
+                    all_resident = False
+            all_resident = all_resident and all(
+                k in self._dev_rows for k in keys)
+            if all_resident:
+                idx = np.asarray([self._dev_rows[k] for k in keys], np.int32)
+                if accum > 1:
+                    idx = idx.reshape(accum, -1)
+                return self._gather(idx)
+        main_g = np.stack([local[k][0] for k in keys])
+        aux_g = np.stack([local[k][1] for k in keys])
+        return main_g, aux_g
+
+    def _host_batch(self, image_ids, store):
+        """Host fp32 guides (cache-filled, no table)."""
+        skey = self._store_key(store)
+        keys = [(skey, i) for i in image_ids]
+        local = self._fill(keys, store)
+        return (np.stack([local[k][0] for k in keys]),
+                np.stack([local[k][1] for k in keys]))
+
+    def _fill(self, keys, store) -> dict:
+        """Resolve every key to its guide value, computing misses.
+
+        Holds this call's values locally so LRU eviction mid-batch (when
+        max_items < unique ids per batch) can never drop a needed entry."""
         local = {}
         for k in dict.fromkeys(keys):
             v = self._get(k)
@@ -367,22 +456,4 @@ class GuideCache:
             for j, k in enumerate(missing):
                 local[k] = (mg[j], ag[j])
                 self._put(k, local[k])
-        if self.device_items > 0:
-            # ensure a device row per key (one ~123 KB bf16 upload each;
-            # LRU reuse when full).  A batch with more unique images than
-            # the table self-evicts during the insert loop — the final
-            # membership check catches that and falls back to host guides.
-            all_resident = True
-            for k in dict.fromkeys(keys):
-                if not self._dev_put(k, local[k]):
-                    all_resident = False
-            all_resident = all_resident and all(
-                k in self._dev_rows for k in keys)
-            if all_resident:
-                idx = np.asarray([self._dev_rows[k] for k in keys], np.int32)
-                if accum > 1:
-                    idx = idx.reshape(accum, -1)
-                return self._gather(idx)
-        main_g = np.stack([local[k][0] for k in keys])
-        aux_g = np.stack([local[k][1] for k in keys])
-        return main_g, aux_g
+        return local

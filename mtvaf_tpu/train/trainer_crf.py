@@ -92,12 +92,12 @@ class CrfTrainer:
         if cfg.use_prefix and resnet_params is not None and any(
                 d is not None and d.image_store for d in
                 (train_dataset, dev_dataset, test_dataset)):
-            # Device-resident guide table on bf16 runs — single-device AND
-            # single-host SPMD meshes (see ingest.GuideCache: the table
-            # replicates over the mesh, the gather emits batch-sharded
-            # arrays); host path for fp32-parity and multi-host runs.
-            dev_items = cfg.guide_cache_device_items \
-                if (cfg.bf16 and self.process_count == 1) else 0
+            # Device-resident guide table on bf16 runs — single-device,
+            # SPMD meshes AND multi-host (see ingest.GuideCache: the table
+            # replicates over the mesh — or lives per-host on the process's
+            # submesh — and the gather emits batch-sharded arrays); host
+            # path for fp32-parity runs.
+            dev_items = cfg.guide_cache_device_items if cfg.bf16 else 0
             self.guide_cache = GuideCache(
                 resnet_params, cfg.resnet_depth,
                 max_items=cfg.guide_cache_size,
@@ -135,12 +135,14 @@ class CrfTrainer:
             lambda x, s: jax.device_put(np.asarray(x), s),
             self.state.params, sh)
 
-    def _attach_guides(self, batch: Dict, dataset, accum: int = 1) -> Dict:
+    def _attach_guides(self, batch: Dict, dataset, accum: int = 1,
+                       for_mesh=GuideCache._UNSET) -> Dict:
         if self.guide_cache is None or dataset.image_store is None:
             return batch
         ids = [dataset.features[i].img_id for i in batch["example_index"]]
         main_g, aux_g = self.guide_cache.batch(ids, dataset.image_store,
-                                               accum=accum)
+                                               accum=accum,
+                                               for_mesh=for_mesh)
         batch = dict(batch)
         batch["main_guides"] = main_g
         batch["aux_guides"] = aux_g
@@ -362,8 +364,8 @@ class CrfTrainer:
         records = []
         eval_params = self._eval_params()
         batches = prefetch(
-            (self._attach_guides(b, dataset) for b in iterate_batches(
-                dataset.arrays, cfg.eval_batch_size)))
+            (self._attach_guides(b, dataset, for_mesh=self.eval_mesh)
+             for b in iterate_batches(dataset.arrays, cfg.eval_batch_size)))
         # Fetches run in a thread pool (one device_get per record, loss+tags
         # together) so the per-record host round-trips overlap — on the
         # tunneled axon backend each RPC costs ~25 ms; futures are consumed

@@ -95,15 +95,11 @@ class SpanTrainer:
                 d is not None and d.image_store for d in
                 (train_dataset, dev_dataset, test_dataset)):
             # The device-resident guide table (bf16 rows gathered on device)
-            # engages on bf16 runs — single-device AND single-host SPMD
-            # meshes (the table replicates over the mesh; the gather emits
-            # batch-sharded arrays).  fp32-parity runs keep the host path;
-            # multi-host keeps it too (each process sees different images,
-            # so a replicated table cannot be kept consistent without
-            # cross-host guide exchange — the packed per-shard upload still
-            # engages there).
-            dev_items = cfg.guide_cache_device_items \
-                if (cfg.bf16 and self.process_count == 1) else 0
+            # engages on bf16 runs — single-device, SPMD meshes AND
+            # multi-host (each process keeps its OWN table on its submesh;
+            # gathers assemble into the global batch-sharded array — see
+            # ingest.GuideCache).  fp32-parity runs keep the host path.
+            dev_items = cfg.guide_cache_device_items if cfg.bf16 else 0
             self.guide_cache = GuideCache(
                 resnet_params, cfg.resnet_depth,
                 max_items=cfg.guide_cache_size,
@@ -134,13 +130,15 @@ class SpanTrainer:
             lambda x, s: jax.device_put(np.asarray(x), s),
             self.state.params, sh)
 
-    def _attach_guides(self, batch: Dict, dataset, accum: int = 1) -> Dict:
+    def _attach_guides(self, batch: Dict, dataset, accum: int = 1,
+                       for_mesh=GuideCache._UNSET) -> Dict:
         if self.guide_cache is None or dataset.image_store is None:
             return batch
         ids = [dataset.features[i].image_id or ""
                for i in batch["example_index"]]
         main_g, aux_g = self.guide_cache.batch(ids, dataset.image_store,
-                                               accum=accum)
+                                               accum=accum,
+                                               for_mesh=for_mesh)
         batch = dict(batch)
         batch["main_guides"] = main_g
         batch["aux_guides"] = aux_g
@@ -406,7 +404,8 @@ class SpanTrainer:
                         span_masks=masks[j]))
 
             for batch in iterate_batches(dataset.arrays, cfg.eval_batch_size):
-                batch = self._attach_guides(batch, dataset)
+                batch = self._attach_guides(batch, dataset,
+                                            for_mesh=self.eval_mesh)
                 valid = batch.pop("batch_valid")
                 dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
                 s_logits, e_logits, seq = self.extraction_step(

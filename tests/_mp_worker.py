@@ -42,7 +42,36 @@ def main(coordinator: str, num_processes: int, process_id: int,
     from mtvaf_tpu.train.trainer_span import SpanTrainer
 
     tokenizer = FullTokenizer(os.path.join(data_dir, "vocab.txt"))
-    if pipeline.startswith("crf"):
+    if pipeline == "crf_guides":
+        # bf16 + visual prefix + device-resident guide table: multi-host
+        # table path (per-host submesh storage, global-array assembly via
+        # make_array_from_single_device_arrays — train/ingest.GuideCache)
+        from mtvaf_tpu.nn.resnet import init_resnet_params
+        cfg = Config(dataset_name="twitter2015", use_prefix=True,
+                     use_18=True, vao=True, prefix_len=4, max_seq=24,
+                     train_batch_size=8, eval_batch_size=8, num_epochs=2,
+                     eval_begin_epoch=99, bf16=True, num_anp_classes=8,
+                     lr=1e-3, mesh_data=4, seed=13,
+                     guide_cache_device_items=64)
+        bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+        ds = CrfDataset.load(cfg, tokenizer,
+                             os.path.join(data_dir, "train_g.txt"),
+                             os.path.join(data_dir, "anp_g.json"),
+                             img_dir=os.path.join(data_dir, "imgs"))
+        params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+        resnet_params = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+        trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                             dev_dataset=ds, test_dataset=ds,
+                             resnet_params=resnet_params)
+        assert trainer.guide_cache is not None
+        assert trainer.guide_cache.device_items > 0
+        if num_processes > 1:
+            # table stored on THIS host's contiguous data rows
+            assert trainer.guide_cache._assemble_global
+            sub = trainer.guide_cache._store_mesh
+            assert all(d.process_index == jax.process_index()
+                       for d in sub.devices.flat)
+    elif pipeline.startswith("crf"):
         preempt = pipeline == "crf_preempt"
         cfg = Config(dataset_name="twitter2015", max_seq=24,
                      train_batch_size=8, eval_batch_size=8,
@@ -112,7 +141,7 @@ def main(coordinator: str, num_processes: int, process_id: int,
         from mtvaf_tpu.core.checkpoint import wait_for_checkpoints
         from mtvaf_tpu.train.resume import (load_latest_checkpoint,
                                             save_epoch_checkpoint)
-        ck = os.path.join(data_dir, f"ckpt_np{num_processes}")
+        ck = os.path.join(data_dir, f"ckpt_{pipeline}_np{num_processes}")
         save_epoch_checkpoint(ck, trainer.state, 1, {"rng": [0, 1]})
         wait_for_checkpoints()
         state2, start_epoch, meta = load_latest_checkpoint(ck, trainer.state)
@@ -139,6 +168,8 @@ def main(coordinator: str, num_processes: int, process_id: int,
         "first_leaf_sum": float(first_leaf.astype(np.float64).sum()),
         "train_f1": trainer.last_train_f1,   # cross-host-summed counts
         "ckpt_ok": ckpt_ok,
+        "table_rows": len(trainer.guide_cache._dev_rows)
+        if getattr(trainer, "guide_cache", None) is not None else None,
         "y_pred": y_pred,
     }))
 

@@ -67,6 +67,12 @@ def data_dir(tmp_path_factory):
                    num_anp=8)
     make_span_file(str(d / "train_span.txt"), 16, seed=9)
     make_vocab_file(str(d / "vocab.txt"))
+    # image-bearing variant for the guide-table pipeline
+    from mtvaf_tpu.data.synthetic import make_images
+    img_ids = [f"{770000 + i}.jpg" for i in range(4)]
+    make_images(str(d / "imgs"), img_ids, size=96)
+    make_crf_files(str(d / "train_g.txt"), str(d / "anp_g.json"), 16,
+                   seed=11, num_anp=8, image_ids=img_ids)
     return str(d)
 
 
@@ -142,6 +148,29 @@ def test_two_process_accum_epoch_matches_single_process(data_dir):
     # both processes agree with each other exactly (same global program)
     assert results[0]["params_digest"] == results[1]["params_digest"]
     assert results[0]["train_f1"] == results[1]["train_f1"]
+
+
+def test_two_process_guide_table_matches_single_process(data_dir):
+    """Multi-host device-resident guide table: each process stores guides
+    on ITS submesh and gathers assemble the global batch-sharded array
+    (make_array_from_single_device_arrays) — training must match the
+    single-process run, whose table replicates over the same global mesh."""
+    baseline = _run_workers(1, data_dir, "unused", pipeline="crf_guides")[0]
+    assert baseline["table_rows"] and baseline["table_rows"] >= 4
+    coordinator = f"localhost:{_free_port()}"
+    results = _run_workers(2, data_dir, coordinator, pipeline="crf_guides")
+    for r in results:
+        assert r["step"] == baseline["step"]
+        # table engaged on every process (each holds ONLY the images its
+        # data shard visits — ≤ the single-process count)
+        assert r["table_rows"] and r["table_rows"] >= 1
+        np.testing.assert_allclose(r["params_digest"],
+                                   baseline["params_digest"], rtol=1e-6)
+        np.testing.assert_allclose(r["dev_loss"], baseline["dev_loss"],
+                                   rtol=1e-5)
+        assert r["y_pred"] == baseline["y_pred"]
+    # both processes bitwise-agree (same global program)
+    assert results[0]["params_digest"] == results[1]["params_digest"]
 
 
 def test_two_process_preemption_agrees(data_dir):
