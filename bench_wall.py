@@ -24,7 +24,69 @@ N_IMAGES = 64
 EPOCHS = 4
 
 
-def main(smoke: bool = False):
+def _stage_decomposition(cfg, ds, trainer):
+    """Where does the production step's wall time go?  The host and the
+    device share ONE core through a ~25-40 ms/RPC tunnel, so the loop's
+    throughput is bounded by max(host CPU per batch, device step) plus
+    coupling losses.  Times three things over one epoch of batches:
+
+    * ``host_ms``   — the prefetch generator alone (batch slicing, guide
+      gather dispatch, pack, upload, unpack dispatch), no training;
+    * ``step_ms``   — the train step alone on ONE staged batch (device
+      ceiling, pipelined dispatches);
+    * ``loop_ms``   — the real combined loop (trainer.train()-equivalent
+      path without metric collection), one epoch.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from mtvaf_tpu.data.datasets import iterate_batches
+
+    accum = cfg.gradient_accumulation_steps
+
+    def gen():
+        for b in iterate_batches(ds.arrays, cfg.train_batch_size,
+                                 shuffle=True, seed=cfg.seed, epoch=2):
+            b = trainer._attach_guides(b, ds, accum=accum)
+            b.pop("batch_valid")
+            yield trainer._device_batch(b, accum, mesh=trainer.mesh)
+
+    # warm epoch: compiles + guide-table fills
+    last = None
+    for dev in gen():
+        last = dev
+    rng = jax.random.PRNGKey(0)
+    state, m = trainer.train_step(trainer.state, dev, rng)
+    float(np.asarray(m["loss"]))
+
+    out = {}
+    t0 = time.perf_counter()
+    n = 0
+    for dev in gen():
+        n += 1
+    jax.tree.leaves(dev)[0].block_until_ready()
+    out["host_ms"] = round((time.perf_counter() - t0) / n * 1e3, 2)
+
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = trainer.train_step(state, last, rng)
+    float(np.asarray(m["loss"]))
+    out["step_ms"] = round((time.perf_counter() - t0) / n * 1e3, 2)
+
+    from mtvaf_tpu.data.datasets import prefetch
+    t0 = time.perf_counter()
+    for dev in prefetch(gen()):
+        state, m = trainer.train_step(state, dev, rng)
+    float(np.asarray(m["loss"]))
+    dt = (time.perf_counter() - t0) / n
+    out["loop_ms"] = round(dt * 1e3, 2)
+    out["loop_ex_s"] = round(cfg.train_batch_size / dt, 1)
+    print(json.dumps(out))
+
+
+def main(smoke: bool = False, stages: bool = False):
     global N_EXAMPLES, N_IMAGES, EPOCHS
     if smoke:        # CPU smoke test of the harness itself (tiny scale)
         N_EXAMPLES, N_IMAGES, EPOCHS = 32, 4, 2
@@ -84,6 +146,10 @@ def main(smoke: bool = False):
                              resnet_params=resnet,
                              attention_impl=select_attention_impl(cfg, True))
 
+        if stages:
+            _stage_decomposition(cfg, ds, trainer)
+            return
+
         # sample trainer.last_throughput at each epoch-end log record
         class _Hook(logging.Handler):
             def emit(self, record):
@@ -108,4 +174,4 @@ def main(smoke: bool = False):
 
 if __name__ == "__main__":
     import sys
-    main(smoke="--smoke" in sys.argv)
+    main(smoke="--smoke" in sys.argv, stages="--stages" in sys.argv)

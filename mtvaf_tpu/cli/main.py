@@ -146,9 +146,10 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
         build_tokenizer(cfg.bert_name, cfg.do_lower_case))
     bert_cfg = bert_cfg_override or BertConfig.from_hf_dir(
         cfg.bert_name, cfg.is_roberta)
-    if cfg.remat:
+    if cfg.remat or not cfg.selective_remat:
         import dataclasses
-        bert_cfg = dataclasses.replace(bert_cfg, remat=True)
+        bert_cfg = dataclasses.replace(
+            bert_cfg, remat=cfg.remat, selective_remat=cfg.selective_remat)
     bert_params = load_backbone_params(cfg, bert_cfg)
     resnet_params = load_resnet(cfg) if cfg.use_prefix else None
 

@@ -171,6 +171,11 @@ class Config:
     remat: bool = False                 # checkpoint encoder layers (recompute
                                         # activations in backward; for larger
                                         # backbones / long context)
+    selective_remat: bool = True        # checkpoint the XLA attention core
+                                        # only: kills the scan-stacked fp32
+                                        # probs stash for one scores+softmax
+                                        # recompute per layer (same math;
+                                        # rationale in nn/bert.BertConfig)
     save_checkpoints: bool = False      # full train-state checkpoint per epoch
     checkpoint_every: int = 1           # checkpoint every N epochs (writes are
                                         # async but serialize with each other;

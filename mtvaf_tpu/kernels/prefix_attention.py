@@ -282,19 +282,30 @@ def prefix_flash_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
 _PALLAS_MIN_STASH = 2 * 1024 * 1024
 
 
+def _resolve_attention(q_shape, k_shape):
+    """Trace-time dispatch decision for ``adaptive_attention`` — exposed as
+    ``adaptive_attention.resolve`` so ``bert_layer`` can see WHICH core will
+    run and wrap the XLA one in its remat (checkpointing the Pallas kernel
+    would re-run its forward in the backward; its custom VJP already
+    recomputes internally)."""
+    from ..nn.bert import xla_attention
+    b, _, s, _ = q_shape
+    t = k_shape[2]
+    if b * s * t < _PALLAS_MIN_STASH:
+        return xla_attention
+    return prefix_flash_attention
+
+
 def adaptive_attention(q, k, v, bias, *, dropout_rate: float = 0.0, rng=None):
     """Shape-adaptive ``attention_impl``: XLA below the stash crossover,
     the Pallas flash kernel above (long sequence OR large batch).  Shapes
     are static under jit, so the dispatch resolves at trace time with zero
     runtime cost."""
-    from ..nn.bert import xla_attention
-    b, _, s, _ = q.shape
-    t = k.shape[2]
-    if b * s * t < _PALLAS_MIN_STASH:
-        return xla_attention(q, k, v, bias, dropout_rate=dropout_rate,
-                             rng=rng)
-    return prefix_flash_attention(q, k, v, bias, dropout_rate=dropout_rate,
-                                  rng=rng)
+    impl = _resolve_attention(q.shape, k.shape)
+    return impl(q, k, v, bias, dropout_rate=dropout_rate, rng=rng)
+
+
+adaptive_attention.resolve = _resolve_attention
 
 
 def select_attention_impl(cfg, train: bool):

@@ -48,6 +48,20 @@ class BertConfig:
                                    # recomputes activations instead of
                                    # stashing them (trade FLOPs for HBM —
                                    # for larger backbones / long context)
+    selective_remat: bool = True   # checkpoint ONLY the XLA attention
+                                   # core: the fp32 probs stash (scan-
+                                   # stacked to (L,B,H,S,T) in HBM) costs
+                                   # more to read back than the scores+
+                                   # softmax recompute (+2.9% step on TPU,
+                                   # measured b32 s128).  Same math, same
+                                   # dropout mask (the replay reuses the
+                                   # rng).  An MLP-block checkpoint was
+                                   # ALSO tried and regresses 7% — the FFN
+                                   # stash traffic is cheaper than the lost
+                                   # up-proj epilogue fusion; the gelu
+                                   # custom VJP in nn/layers.py cuts those
+                                   # stashes without recompute instead.
+                                   # Subsumed by ``remat``.
 
     @property
     def head_dim(self) -> int:
@@ -165,6 +179,17 @@ def xla_attention(q, k, v, bias, *, dropout_rate=0.0, rng=None):
     return jnp.einsum("bhst,bhtd->bhsd", probs, v)
 
 
+def _xla_attention_body(q, k, v, bias, rate, rng):
+    return xla_attention(q, k, v, bias, dropout_rate=rate, rng=rng)
+
+
+# Rematerialized attention core: the backward recomputes scores/softmax from
+# q/k/v instead of stashing the (B, H, S, T) probs (which the scan would
+# otherwise stack to (L, B, H, S, T) — in fp32 — in HBM).  Only used for the
+# XLA lowering; the Pallas kernel's custom VJP already recomputes.
+_xla_attention_ckpt = jax.checkpoint(_xla_attention_body, static_argnums=(4,))
+
+
 def _split_heads(x, num_heads):
     b, s, h = x.shape
     return x.reshape(b, s, num_heads, h // num_heads).transpose(0, 2, 1, 3)
@@ -194,9 +219,18 @@ def bert_layer(lp, hidden, bias, cfg: BertConfig, prefix_kv=None, rng=None,
         k = jnp.concatenate([pk, k], axis=2)
         v = jnp.concatenate([pv, v], axis=2)
 
-    ctx = attention_impl(q, k, v, bias,
-                         dropout_rate=cfg.attention_probs_dropout_prob,
-                         rng=rngs[0])
+    sel_remat = cfg.selective_remat and not cfg.remat
+    impl = attention_impl
+    resolve = getattr(attention_impl, "resolve", None)
+    if resolve is not None:    # adaptive dispatch: see which core will run
+        impl = resolve(q.shape, k.shape)
+    if sel_remat and impl is xla_attention:
+        ctx = _xla_attention_ckpt(q, k, v, bias,
+                                  cfg.attention_probs_dropout_prob, rngs[0])
+    else:
+        ctx = impl(q, k, v, bias,
+                   dropout_rate=cfg.attention_probs_dropout_prob,
+                   rng=rngs[0])
     attn_out = dense(lp["attn"]["out"], _merge_heads(ctx))
     attn_out = dropout(attn_out, cfg.hidden_dropout_prob, rngs[1])
     hidden = layer_norm(lp["attn"]["ln"], hidden + attn_out,

@@ -63,9 +63,28 @@ def dropout(x, rate: float, rng: Optional[jax.Array]):
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+@jax.custom_vjp
 def gelu(x):
     # erf-based gelu, matching torch.nn.functional.gelu default / HF "gelu".
     return jax.nn.gelu(x, approximate=False)
+
+
+def _gelu_fwd(x):
+    return gelu(x), x
+
+
+def _gelu_bwd(x, g):
+    # Analytic d/dx[x·Φ(x)] = Φ(x) + x·φ(x), recomputed from x.  Autodiff of
+    # the erf form instead saves several (B, S, 4H)-wide intermediates —
+    # under a scanned encoder those stack to (L, B, S, 4H) in HBM and the
+    # stash traffic costs more than this one exp+erf recompute.
+    xf = x.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + jax.lax.erf(xf * 0.7071067811865476))
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * xf * xf)
+    return ((g.astype(jnp.float32) * (cdf + xf * pdf)).astype(x.dtype),)
+
+
+gelu.defvjp(_gelu_fwd, _gelu_bwd)
 
 
 def mask_to_bias(mask, dtype=jnp.float32):

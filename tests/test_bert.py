@@ -227,6 +227,36 @@ class TestRemat:
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g0, g1)
 
+    def test_selective_remat_matches_plain_grads(self):
+        """Attention-core checkpointing (default ON): same loss and grads
+        as the fully-stashed backward, including the regenerated attention
+        dropout mask (the replay reuses the same per-layer rng)."""
+        import dataclasses
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from mtvaf_tpu.nn.bert import BertConfig, bert_model, init_bert_params
+
+        cfg_on = BertConfig.tiny()
+        assert cfg_on.selective_remat
+        cfg_off = dataclasses.replace(cfg_on, selective_remat=False)
+        params = init_bert_params(jax.random.PRNGKey(0), cfg_on)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0,
+                                 cfg_on.vocab_size)
+        w = jax.random.normal(jax.random.PRNGKey(2),
+                              (2, 10, cfg_on.hidden_size))
+        drng = jax.random.PRNGKey(3)   # dropout ACTIVE: masks must regenerate
+
+        def loss(p, c):
+            out = bert_model(p, c, ids, rng=drng)
+            return jnp.sum(out["last_hidden_state"] * w)
+
+        l0, g0 = jax.value_and_grad(loss)(params, cfg_off)
+        l1, g1 = jax.value_and_grad(loss)(params, cfg_on)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g0, g1)
+
     def test_from_hf_dir_reads_config(self, tmp_path):
         import json
         from mtvaf_tpu.nn.bert import BertConfig
