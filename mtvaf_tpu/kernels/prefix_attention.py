@@ -270,27 +270,43 @@ def prefix_flash_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     return _attention(q, k, v, bias, _ZERO_SEED, scale, 0.0)
 
 
-# Dispatch crossover: the XLA train lowering stashes the fp32 (B, H, S, T)
-# attention probs per layer for the backward; once that stash dominates HBM
-# bandwidth (or capacity) the flash kernel — which recomputes probs from the
-# saved lse — wins.  Measured on v5e (flagship, BENCH_SCALING/longseq):
+# Dispatch crossover.  Two regimes, measured on v5e (flagship step):
+#
+# Plain XLA core (ckpt_core=False): the train lowering stashes the fp32
+# (B, H, S, T) attention probs per layer for the backward; once that stash
+# dominates HBM bandwidth/capacity the flash kernel — which recomputes
+# probs from the saved lse — wins:
 #   b32·s128 (B·S·T=0.6M):  XLA 840-878 vs flash ~790   → XLA
 #   b64·s128 (1.2M):        XLA 949    vs flash 902     → XLA
 #   b128·s128 (2.4M):       XLA 772    vs flash 860     → flash (+11%)
 #   b32·s512 (8.7M):        XLA OOMs 16G vs flash 201   → flash
 # Crossover sits between 1.2M and 2.4M B·S·T elements.
+#
+# Checkpointed XLA core (ckpt_core=True, bert_layer's selective_remat
+# default): no probs stash exists, so volume no longer decides — XLA wins
+# at s128 at EVERY batch (bench_attn_crossover.py: b64 1015.3 vs flash
+# 953.8; b128 957.2 vs 929.6) and only genuinely long KV, where the fp32
+# probs don't fit the cache hierarchy even transiently (and the recompute
+# re-pays their full HBM round trip), favors flash.  s512 keeps flash
+# (the XLA path OOMed 16 GB there even before the probs stash existed in
+# the backward).  Threshold set between the measured points (T=144 XLA,
+# T=528 flash).
 _PALLAS_MIN_STASH = 2 * 1024 * 1024
+_PALLAS_MIN_KV = 256
 
 
-def _resolve_attention(q_shape, k_shape):
+def _resolve_attention(q_shape, k_shape, ckpt_core: bool = False):
     """Trace-time dispatch decision for ``adaptive_attention`` — exposed as
     ``adaptive_attention.resolve`` so ``bert_layer`` can see WHICH core will
     run and wrap the XLA one in its remat (checkpointing the Pallas kernel
     would re-run its forward in the backward; its custom VJP already
-    recomputes internally)."""
+    recomputes internally).  ``ckpt_core`` says the caller will checkpoint
+    the XLA core, which moves the crossover (see above)."""
     from ..nn.bert import xla_attention
     b, _, s, _ = q_shape
     t = k_shape[2]
+    if ckpt_core:
+        return xla_attention if t < _PALLAS_MIN_KV else prefix_flash_attention
     if b * s * t < _PALLAS_MIN_STASH:
         return xla_attention
     return prefix_flash_attention

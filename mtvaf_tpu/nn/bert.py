@@ -223,7 +223,7 @@ def bert_layer(lp, hidden, bias, cfg: BertConfig, prefix_kv=None, rng=None,
     impl = attention_impl
     resolve = getattr(attention_impl, "resolve", None)
     if resolve is not None:    # adaptive dispatch: see which core will run
-        impl = resolve(q.shape, k.shape)
+        impl = resolve(q.shape, k.shape, ckpt_core=sel_remat)
     if sel_remat and impl is xla_attention:
         ctx = _xla_attention_ckpt(q, k, v, bias,
                                   cfg.attention_probs_dropout_prob, rngs[0])

@@ -111,6 +111,32 @@ def test_adaptive_dispatch_by_stash_volume(monkeypatch):
     assert calls == ["pallas", "pallas"]
 
 
+def test_resolve_with_checkpointed_core():
+    """When the caller checkpoints the XLA core (bert_layer's
+    selective_remat default) the probs stash doesn't exist, so dispatch
+    ignores B·S·T volume and switches to the kernel only at long KV
+    (measured: XLA wins every batch at s128; flash wins at s512)."""
+    from mtvaf_tpu.kernels import prefix_attention as pa
+    from mtvaf_tpu.nn.bert import xla_attention as xa
+
+    res = pa.adaptive_attention.resolve
+    # b128 s128 (T=144): volume rule says pallas, ckpt rule says XLA
+    q = (128, 12, 128, 64)
+    k = (128, 12, 144, 64)
+    assert res(q, k) is pa.prefix_flash_attention
+    assert res(q, k, ckpt_core=True) is xa
+    # long KV (T=528): pallas either way
+    q = (32, 12, 512, 64)
+    k = (32, 12, 528, 64)
+    assert res(q, k) is pa.prefix_flash_attention
+    assert res(q, k, ckpt_core=True) is pa.prefix_flash_attention
+    # tiny: XLA either way
+    q = (2, 4, 16, 8)
+    k = (2, 4, 20, 8)
+    assert res(q, k) is xa
+    assert res(q, k, ckpt_core=True) is xa
+
+
 def test_backward_multi_chunk_matches_xla():
     """T > _T_CHUNK exercises the KV-chunked backward (several chunks incl.
     a ragged tail) — gradients must still match the XLA reference."""
