@@ -175,6 +175,45 @@ def local_batch_rows(x) -> np.ndarray:
     return np.concatenate([np.asarray(shards[k]) for k in sorted(shards)])
 
 
+def epoch_scalar_sum(scalars) -> float:
+    """Sum a list of device scalars with ONE reduction + ONE host fetch.
+
+    Trainers accumulate one loss scalar per step and reduce at epoch end;
+    a per-scalar ``np.asarray`` costs a full tunnel RPC (~25-40 ms) per
+    step — ~1.6 s/epoch at 64 steps, comparable to the epoch's entire
+    compute (docs/DESIGN.md §8b).  The stack+sum is one cached dispatch."""
+    import jax.numpy as jnp
+    if not scalars:
+        return 0.0
+    return float(jnp.sum(jnp.stack(list(scalars))))
+
+
+def fetch_rows_stacked(arrs):
+    """Fetch a list of per-step device arrays as host rows, minimizing RPCs.
+
+    Single-process with uniform shapes (the common case): ONE stacked
+    device concat + ONE bulk fetch instead of n_steps round-trips.
+    Multi-host or ragged shapes: per-array :func:`local_batch_rows`
+    overlapped through a small thread pool (4-deep, dispatch order).
+    ``None`` entries pass through (steps that produced no metric)."""
+    arrs = list(arrs)
+    real = [a for a in arrs if a is not None]
+    if not real:
+        return arrs
+    import jax.numpy as jnp
+    shapes = {a.shape for a in real}
+    addressable = all(
+        d.process_index == jax.process_index()
+        for a in real for d in a.sharding.device_set)
+    if len(shapes) == 1 and addressable:
+        stacked = iter(np.asarray(jnp.stack(real)))
+        return [next(stacked) if a is not None else None for a in arrs]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fetched = iter(pool.map(local_batch_rows, real))
+    return [next(fetched) if a is not None else None for a in arrs]
+
+
 def align_local_rows(rows: np.ndarray, n_local: int, accum: int,
                      process_index: int) -> np.ndarray:
     """Select THIS process's rows when a per-example fetch came back GLOBAL.

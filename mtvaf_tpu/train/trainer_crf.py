@@ -275,24 +275,16 @@ class CrfTrainer:
                                          metrics["pred_tags"]))
 
             n_steps = len(loss_devs)
-            epoch_loss = float(np.sum([np.asarray(l) for l, _ in loss_devs]))
+            from ..core.mesh import epoch_scalar_sum, fetch_rows_stacked
+            epoch_loss = epoch_scalar_sum([l for l, _ in loss_devs])
             if cfg.log_grad_norm and self.writer and n_steps:
                 self.writer.add_scalar(
                     "grad_norm",
-                    float(np.mean([np.asarray(g) for _, g in loss_devs])),
+                    epoch_scalar_sum([g for _, g in loss_devs]) / n_steps,
                     epoch)
-            tags_np = []
-            if step_records:
-                # fetch all step tags with overlapped RPCs (device→host
-                # round-trips would otherwise serialize at ~25 ms each);
-                # local_batch_rows == np.asarray on addressable arrays and
-                # extracts this process's rows on multi-host global arrays
-                from concurrent.futures import ThreadPoolExecutor
-
-                from ..core.mesh import local_batch_rows
-                with ThreadPoolExecutor(max_workers=4) as fetcher:
-                    tags_np = list(fetcher.map(
-                        local_batch_rows, [t for _, _, t in step_records]))
+            # all step tags in ONE stacked fetch (multi-host: pooled
+            # per-step local-row fetches) — see core.mesh.fetch_rows_stacked
+            tags_np = fetch_rows_stacked([t for _, _, t in step_records])
             from ..core.mesh import align_local_rows
             for (batch, valid, _), tags in zip(step_records, tags_np):
                 tags = align_local_rows(tags, len(batch["label_ids"]),

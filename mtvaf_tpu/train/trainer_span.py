@@ -256,26 +256,18 @@ class SpanTrainer:
                                      metrics.get("ac_logits")))
 
             n_steps = len(loss_devs)
-            epoch_loss = float(np.sum([np.asarray(l) for l, _ in loss_devs]))
+            from ..core.mesh import epoch_scalar_sum, fetch_rows_stacked
+            epoch_loss = epoch_scalar_sum([l for l, _ in loss_devs])
             if cfg.log_grad_norm and self.writer and n_steps:
                 self.writer.add_scalar(
                     "grad_norm",
-                    float(np.mean([np.asarray(g) for _, g in loss_devs])),
+                    epoch_scalar_sum([g for _, g in loss_devs]) / n_steps,
                     epoch)
 
-            # Train-metric collection (reference modules/train.py:122-130).
-            # Per-step logits fetch through a thread pool — serial
-            # device→host round-trips cost ~25 ms each on tunneled links.
-            ac_np = []
-            if step_records:
-                from concurrent.futures import ThreadPoolExecutor
-
-                from ..core.mesh import local_batch_rows
-                with ThreadPoolExecutor(max_workers=4) as fetcher:
-                    ac_np = list(fetcher.map(
-                        lambda t: local_batch_rows(t) if t is not None
-                        else None,
-                        [r[2] for r in step_records]))
+            # Train-metric collection (reference modules/train.py:122-130):
+            # all step logits in ONE stacked fetch (multi-host: pooled
+            # per-step local-row fetches) — core.mesh.fetch_rows_stacked
+            ac_np = fetch_rows_stacked([r[2] for r in step_records])
             from ..core.mesh import align_local_rows
             all_results = []
             for (batch, valid, _), ac in zip(step_records, ac_np):
