@@ -86,6 +86,89 @@ def _stage_decomposition(cfg, ds, trainer):
     print(json.dumps(out))
 
 
+def main_span(smoke: bool = False):
+    """Span-pipeline production wall: twitter15 + prefix + probe through
+    SpanTrainer.train() — full host path incl. train-metric collection
+    (eval_absa) and the gold-candidate precompute in the data layer."""
+    global N_EXAMPLES, N_IMAGES, EPOCHS
+    if smoke:
+        N_EXAMPLES, N_IMAGES, EPOCHS = 32, 4, 2
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    logging.basicConfig(level=logging.INFO)
+    from mtvaf_tpu.core.platform import configure_tpu_defaults
+    if not smoke:
+        configure_tpu_defaults()
+
+    import dataclasses
+
+    import jax
+
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.data.datasets import SpanDataset
+    from mtvaf_tpu.data.synthetic import (make_images, make_span_file,
+                                          make_vocab_file)
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+    from mtvaf_tpu.kernels.prefix_attention import select_attention_impl
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.nn.models import init_span_model_params
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+    from mtvaf_tpu.train.trainer_span import SpanTrainer
+
+    with tempfile.TemporaryDirectory() as d:
+        img_ids = [f"{800000 + i}.jpg" for i in range(N_IMAGES)]
+        make_images(os.path.join(d, "imgs"), img_ids, size=256)
+        make_span_file(os.path.join(d, "train.txt"), N_EXAMPLES, seed=0,
+                       image_ids=img_ids)
+        make_vocab_file(os.path.join(d, "vocab.txt"))
+        tok = FullTokenizer(os.path.join(d, "vocab.txt"))
+
+        cfg = Config(dataset_name="twitter15", use_prefix=True,
+                     use_152=True, use_probe=True, num_epochs=EPOCHS,
+                     eval_begin_epoch=99,
+                     cache_dir=os.path.join(d, "cache"))
+        if smoke:
+            cfg = cfg.replace(use_152=False, use_18=True, max_seq=24,
+                              train_batch_size=8, eval_batch_size=8,
+                              mesh_data=1, use_probe=False)
+            bc = BertConfig.tiny(vocab_size=len(tok.vocab))
+        else:
+            bc = dataclasses.replace(BertConfig.base(),
+                                     vocab_size=max(len(tok.vocab), 128))
+        ds = SpanDataset.load(cfg, tok, os.path.join(d, "train.txt"),
+                              img_dir=os.path.join(d, "imgs"))
+        params = init_span_model_params(jax.random.PRNGKey(0), cfg, bc)
+        resnet = init_resnet_params(jax.random.PRNGKey(1),
+                                    depth=cfg.resnet_depth)
+
+        rates = []
+        trainer = SpanTrainer(cfg, bc, params, train_dataset=ds,
+                              dev_dataset=ds, test_dataset=ds,
+                              resnet_params=resnet,
+                              attention_impl=select_attention_impl(cfg, True))
+
+        class _Hook(logging.Handler):
+            def emit(self, record):
+                if "train loss" in record.getMessage():
+                    rates.append(trainer.last_throughput)
+
+        hook = _Hook()
+        logging.getLogger("mtvaf_tpu.train.trainer_span").addHandler(hook)
+        trainer.train()
+        logging.getLogger("mtvaf_tpu.train.trainer_span").removeHandler(hook)
+
+        steady = max(rates[1:]) if len(rates) > 1 else (rates or [0.0])[-1]
+        row = {"metric": "production_wall_span_examples_per_sec",
+               "value": round(steady, 1), "unit": "examples/s",
+               "per_epoch": [round(r, 1) for r in rates],
+               "config": "span twitter15 + prefix + probe, b32 s128,"
+                         " JPEG→guides→step + train eval_absa"}
+        print(json.dumps(row))
+        if not smoke:
+            with open("BENCH_WALL_SPAN.json", "w") as f:
+                json.dump(row, f, indent=2)
+
+
 def main(smoke: bool = False, stages: bool = False):
     global N_EXAMPLES, N_IMAGES, EPOCHS
     if smoke:        # CPU smoke test of the harness itself (tiny scale)
@@ -174,4 +257,7 @@ def main(smoke: bool = False, stages: bool = False):
 
 if __name__ == "__main__":
     import sys
-    main(smoke="--smoke" in sys.argv, stages="--stages" in sys.argv)
+    if "--span" in sys.argv:
+        main_span(smoke="--smoke" in sys.argv)
+    else:
+        main(smoke="--smoke" in sys.argv, stages="--stages" in sys.argv)

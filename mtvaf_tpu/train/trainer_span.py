@@ -50,6 +50,7 @@ class SpanTrainer:
         self.test_dataset = test_dataset
         self.writer = writer
         self.attention_impl = attention_impl
+        self.last_throughput = 0.0
 
         # One optimizer step per yielded batch (accumulation splits the batch
         # into micro-batches *inside* the step), and iterate_batches pads the
@@ -310,10 +311,10 @@ class SpanTrainer:
             # per-epoch throughput (matches CrfTrainer; a cumulative rate
             # buries the steady state under epoch-1 compile time)
             self.last_train_f1 = metrics_out["f1"]
+            self.last_throughput = n_examples / max(time.time() - t0, 1e-9)
             logger.info("epoch %d train loss %.5f f1 %.4f (%.1f ex/s)",
                         epoch, epoch_loss / max(n_steps, 1),
-                        metrics_out["f1"],
-                        n_examples / max(time.time() - t0, 1e-9))
+                        metrics_out["f1"], self.last_throughput)
             if self.writer:
                 self.writer.add_scalar("train_loss",
                                        epoch_loss / max(n_steps, 1), epoch)
