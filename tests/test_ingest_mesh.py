@@ -230,6 +230,42 @@ def test_cross_host_sum_single_process_identity():
                                   np.arange(12).reshape(4, 3))
 
 
+def test_epoch_scalar_sum_and_fetch_rows_stacked():
+    """The one-RPC epoch-end fetch helpers (trainers use these instead of
+    per-step np.asarray round-trips — ~25 ms each on tunneled links)."""
+    import jax.numpy as jnp
+
+    from mtvaf_tpu.core.mesh import epoch_scalar_sum, fetch_rows_stacked
+
+    assert epoch_scalar_sum([]) == 0.0
+    scalars = [jnp.float32(v) for v in (1.5, 2.25, -0.75)]
+    assert epoch_scalar_sum(scalars) == 3.0
+
+    # uniform shapes → stacked path; Nones pass through in place
+    arrs = [jnp.arange(6).reshape(2, 3) + i for i in range(3)]
+    out = fetch_rows_stacked([arrs[0], None, arrs[1], arrs[2]])
+    assert out[1] is None
+    for got, want in zip([out[0], out[2], out[3]], arrs):
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+    # ragged shapes → per-array pooled fallback, same results
+    ragged = [jnp.ones((2, 3)), jnp.zeros((4, 3))]
+    out = fetch_rows_stacked(ragged)
+    np.testing.assert_array_equal(out[0], np.ones((2, 3)))
+    np.testing.assert_array_equal(out[1], np.zeros((4, 3)))
+
+    # sharded-but-addressable (single-process mesh) → stacked path works
+    mesh = make_mesh(data=4, model=1)
+    sh = jax.sharding.NamedSharding(mesh, P("data"))
+    dev = [jax.device_put(np.full((4, 2), i, np.float32), sh)
+           for i in range(2)]
+    out = fetch_rows_stacked(dev)
+    np.testing.assert_array_equal(out[0], np.zeros((4, 2)))
+    np.testing.assert_array_equal(out[1], np.ones((4, 2)))
+
+    assert fetch_rows_stacked([None, None]) == [None, None]
+
+
 def test_align_local_rows():
     from mtvaf_tpu.core.mesh import align_local_rows
     # already local → identity
