@@ -1,10 +1,37 @@
-"""Capture a jax.profiler trace of the flagship step on the TPU and dump
-the top ops by self time (via tensorboard_plugin_profile's xplane parse).
+"""Capture a jax.profiler trace of the flagship step on the TPU and print
+the top device ops by total time.  Parses the Chrome-trace export
+(vm.trace.json.gz) directly — the tensorboard_plugin_profile xplane
+converter is broken against this image's TF/protobuf versions.
 Diagnostic tool, not a bench."""
 
+import collections
 import glob
+import gzip
 import json
 import sys
+
+
+def summarize(trace_path: str, top: int = 30):
+    with gzip.open(trace_path) as f:
+        data = json.load(f)
+    ev = data.get("traceEvents", [])
+    names = {e["pid"]: e["args"].get("name", "")
+             for e in ev if e.get("ph") == "M"
+             and e.get("name") == "process_name"}
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    steps = 0
+    for e in ev:
+        if e.get("ph") != "X" or "TPU" not in names.get(e.get("pid"), ""):
+            continue
+        dur[e["name"]] += e.get("dur", 0)
+        cnt[e["name"]] += 1
+        if e["name"].startswith("jit_"):
+            steps += 1
+    steps = max(steps, 1)
+    print(f"{steps} steps captured; per-step totals:")
+    for n, d in dur.most_common(top):
+        print(f"{d / steps / 1e3:9.3f} ms  x{cnt[n] // steps:<3d} {n[:90]}")
 
 
 def main():
@@ -39,18 +66,15 @@ def main():
             state, m = step(state, batch, rng)
         float(m["loss"])
 
-    files = glob.glob(logdir + "/**/*.xplane.pb", recursive=True)
-    print("xplane files:", files, file=sys.stderr)
+    files = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
     if not files:
-        print(json.dumps({"error": "no xplane captured"}))
+        print(json.dumps({"error": "no trace captured"}))
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data(files, "op_profile", {})
-    out = data if isinstance(data, (str, bytes)) else json.dumps(data)
-    with open("/tmp/prof_step/op_profile.json", "w") as f:
-        f.write(out if isinstance(out, str) else out.decode())
-    print("wrote /tmp/prof_step/op_profile.json")
+    summarize(files[-1])
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:       # summarize an existing capture
+        summarize(sys.argv[1])
+    else:
+        main()
