@@ -24,6 +24,33 @@ N_IMAGES = 64
 EPOCHS = 4
 
 
+def _run_and_report(trainer, logger_name: str, metric: str, config_str: str,
+                    outfile: str, smoke: bool):
+    """Run trainer.train() sampling per-epoch throughput at each epoch-end
+    log record; report best steady-state epoch (epoch 1 pays compiles)."""
+    rates = []
+
+    class _Hook(logging.Handler):
+        def emit(self, record):
+            if "train loss" in record.getMessage():
+                rates.append(trainer.last_throughput)
+
+    hook = _Hook()
+    logging.getLogger(logger_name).addHandler(hook)
+    trainer.train()
+    logging.getLogger(logger_name).removeHandler(hook)
+
+    steady = max(rates[1:]) if len(rates) > 1 else (rates or [0.0])[-1]
+    row = {"metric": metric, "value": round(steady, 1),
+           "unit": "examples/s",
+           "per_epoch": [round(r, 1) for r in rates],
+           "config": config_str}
+    print(json.dumps(row))
+    if not smoke:
+        with open(outfile, "w") as f:
+            json.dump(row, f, indent=2)
+
+
 def _stage_decomposition(cfg, ds, trainer):
     """Where does the production step's wall time go?  The host and the
     device share ONE core through a ~25-40 ms/RPC tunnel, so the loop's
@@ -50,7 +77,6 @@ def _stage_decomposition(cfg, ds, trainer):
         for b in iterate_batches(ds.arrays, cfg.train_batch_size,
                                  shuffle=True, seed=cfg.seed, epoch=2):
             b = trainer._attach_guides(b, ds, accum=accum)
-            b.pop("batch_valid")
             yield trainer._device_batch(b, accum, mesh=trainer.mesh)
 
     # warm epoch: compiles + guide-table fills
@@ -66,7 +92,9 @@ def _stage_decomposition(cfg, ds, trainer):
     n = 0
     for dev in gen():
         n += 1
-    jax.tree.leaves(dev)[0].block_until_ready()
+    # force completion with a host fetch — block_until_ready can return
+    # early through the axon tunnel (CLAUDE.md)
+    float(np.asarray(jax.tree.leaves(dev)[0]).ravel()[0])
     out["host_ms"] = round((time.perf_counter() - t0) / n * 1e3, 2)
 
     t0 = time.perf_counter()
@@ -141,32 +169,15 @@ def main_span(smoke: bool = False):
         resnet = init_resnet_params(jax.random.PRNGKey(1),
                                     depth=cfg.resnet_depth)
 
-        rates = []
         trainer = SpanTrainer(cfg, bc, params, train_dataset=ds,
                               dev_dataset=ds, test_dataset=ds,
                               resnet_params=resnet,
                               attention_impl=select_attention_impl(cfg, True))
-
-        class _Hook(logging.Handler):
-            def emit(self, record):
-                if "train loss" in record.getMessage():
-                    rates.append(trainer.last_throughput)
-
-        hook = _Hook()
-        logging.getLogger("mtvaf_tpu.train.trainer_span").addHandler(hook)
-        trainer.train()
-        logging.getLogger("mtvaf_tpu.train.trainer_span").removeHandler(hook)
-
-        steady = max(rates[1:]) if len(rates) > 1 else (rates or [0.0])[-1]
-        row = {"metric": "production_wall_span_examples_per_sec",
-               "value": round(steady, 1), "unit": "examples/s",
-               "per_epoch": [round(r, 1) for r in rates],
-               "config": "span twitter15 + prefix + probe, b32 s128,"
-                         " JPEG→guides→step + train eval_absa"}
-        print(json.dumps(row))
-        if not smoke:
-            with open("BENCH_WALL_SPAN.json", "w") as f:
-                json.dump(row, f, indent=2)
+        _run_and_report(trainer, "mtvaf_tpu.train.trainer_span",
+                        "production_wall_span_examples_per_sec",
+                        "span twitter15 + prefix + probe, b32 s128,"
+                        " JPEG→guides→step + train eval_absa",
+                        "BENCH_WALL_SPAN.json", smoke)
 
 
 def main(smoke: bool = False, stages: bool = False):

@@ -224,8 +224,8 @@ class SpanPredictor(_PredictorBase):
         all_ss, all_se, all_masks = self._candidates(examples, feats,
                                                      s_np, e_np)
         ac = np.asarray(self._classify(
-            self.params, seq, jnp.asarray(all_ss, jnp.int32),
-            jnp.asarray(all_se, jnp.int32)))
+            self.params, seq,
+            jnp.asarray(np.stack([all_ss, all_se]), jnp.int32)))
         return self._to_results(examples, feats, all_ss, all_se, all_masks,
                                 ac.argmax(axis=-1))
 
@@ -249,8 +249,8 @@ class SpanPredictor(_PredictorBase):
                 all_ss, all_se, all_masks = self._candidates(
                     examples, feats, se_np[0], se_np[1])
                 ac = self._classify(
-                    self.params, seq, jnp.asarray(all_ss, jnp.int32),
-                    jnp.asarray(all_se, jnp.int32))
+                    self.params, seq,
+                    jnp.asarray(np.stack([all_ss, all_se]), jnp.int32))
                 pending_cls.append((n, examples, feats, all_ss, all_se,
                                     all_masks,
                                     fetcher.submit(np.asarray, ac)))

@@ -192,9 +192,12 @@ def make_extraction_step(cfg, bert_cfg: BertConfig,
 
 
 def make_classification_step(cfg, bert_cfg: BertConfig) -> Callable:
-    def classify(params, seq_output, span_starts, span_ends):
-        return span_classification(params, cfg, seq_output, span_starts,
-                                   span_ends)
+    """``span_pairs`` is the host-picked candidates stacked (2, B, n_best)
+    int32 (starts at [0], ends at [1]) so the eval seam uploads ONE buffer
+    per batch — each tunnel RPC costs ~25-40 ms (docs/DESIGN.md §8b)."""
+    def classify(params, seq_output, span_pairs):
+        return span_classification(params, cfg, seq_output, span_pairs[0],
+                                   span_pairs[1])
     return jax.jit(classify)
 
 

@@ -378,8 +378,8 @@ class SpanTrainer:
                     dataset.examples, dataset.features,
                     batch["example_index"], se_np[0], se_np[1], cfg)
                 ac_logits = self.classification_step(
-                    eval_params, seq, jnp.asarray(ss, jnp.int32),
-                    jnp.asarray(se, jnp.int32))
+                    eval_params, seq,
+                    jnp.asarray(np.stack([ss, se]), jnp.int32))
                 pending_cls.append((batch, valid, ss, se, masks,
                                     fetcher.submit(np.asarray, ac_logits)))
 

@@ -227,6 +227,34 @@ class TestRemat:
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g0, g1)
 
+    def test_gelu_custom_vjp_matches_autodiff(self):
+        """The analytic gelu backward (layers._gelu_bwd) against plain
+        autodiff of the erf form — every remat/parity test routes through
+        the custom VJP on BOTH sides, so without this pin a derivative
+        error would corrupt all training gradients invisibly."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mtvaf_tpu.nn.layers import gelu
+
+        x = jnp.asarray(np.random.RandomState(0).randn(512) * 3,
+                        jnp.float32)
+        g_custom = jax.grad(lambda v: jnp.sum(gelu(v)))(x)
+        g_auto = jax.grad(lambda v: jnp.sum(
+            jax.nn.gelu(v, approximate=False)))(x)
+        np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_auto),
+                                   rtol=1e-5, atol=1e-6)
+        # forward unchanged
+        np.testing.assert_array_equal(
+            np.asarray(gelu(x)),
+            np.asarray(jax.nn.gelu(x, approximate=False)))
+        # bf16 path: bwd computed in fp32, cast back
+        xb = x.astype(jnp.bfloat16)
+        gb = jax.grad(lambda v: jnp.sum(gelu(v).astype(jnp.float32)))(xb)
+        assert gb.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(gb, np.float32),
+                                   np.asarray(g_auto), rtol=0.05, atol=0.02)
+
     def test_selective_remat_matches_plain_grads(self):
         """Attention-core checkpointing (default ON): same loss and grads
         as the fully-stashed backward, including the regenerated attention
