@@ -234,7 +234,6 @@ def main(smoke: bool = False, stages: bool = False):
         resnet = init_resnet_params(jax.random.PRNGKey(1),
                                     depth=cfg.resnet_depth)
 
-        rates = []
         trainer = CrfTrainer(cfg, bc, params, train_dataset=ds,
                              dev_dataset=ds, test_dataset=ds,
                              resnet_params=resnet,
@@ -244,26 +243,11 @@ def main(smoke: bool = False, stages: bool = False):
             _stage_decomposition(cfg, ds, trainer)
             return
 
-        # sample trainer.last_throughput at each epoch-end log record
-        class _Hook(logging.Handler):
-            def emit(self, record):
-                if "train loss" in record.getMessage():
-                    rates.append(trainer.last_throughput)
-
-        hook = _Hook()
-        logging.getLogger("mtvaf_tpu.train.trainer_crf").addHandler(hook)
-        trainer.train()
-        logging.getLogger("mtvaf_tpu.train.trainer_crf").removeHandler(hook)
-
-        steady = max(rates[1:]) if len(rates) > 1 else (rates or [0.0])[-1]
-        row = {"metric": "production_wall_examples_per_sec",
-               "value": round(steady, 1), "unit": "examples/s",
-               "per_epoch": [round(r, 1) for r in rates],
-               "config": "flagship CRF, b32 s128, JPEG→guides→fused step,"
-                         " device guide table + packed upload"}
-        print(json.dumps(row))
-        with open("BENCH_WALL.json", "w") as f:
-            json.dump(row, f, indent=2)
+        _run_and_report(trainer, "mtvaf_tpu.train.trainer_crf",
+                        "production_wall_examples_per_sec",
+                        "flagship CRF, b32 s128, JPEG→guides→fused step,"
+                        " device guide table + packed upload",
+                        "BENCH_WALL.json", smoke)
 
 
 if __name__ == "__main__":
