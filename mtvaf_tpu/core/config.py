@@ -185,6 +185,15 @@ class Config:
     optimizer_mu_bf16: bool = True      # AdamW first moment in bf16 (halves
                                         # its HBM traffic, ~1.4ms/step; second
                                         # moment + params stay fp32)
+    params_bf16: bool = False           # live params stored in bf16 with an
+                                        # fp32 master inside the optimizer
+                                        # state (torch-AMP master-weight
+                                        # semantics): fwd+bwd read half the
+                                        # parameter bytes; AdamW walks the
+                                        # fp32 master and re-casts. Off by
+                                        # default — fp32 live params keep
+                                        # torch-interop checkpoints and
+                                        # parity tests bit-exact.
     span_ac_loss_mode: str = "reference"  # 'reference' (unmasked mean CE —
                                           # the reference's mask is a no-op,
                                           # models/bert_model.py:302-303) or

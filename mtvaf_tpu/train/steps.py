@@ -26,9 +26,51 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def create_train_state(params, optimizer) -> TrainState:
-    return TrainState(params=params, opt_state=optimizer.init(params),
+class MasterState(NamedTuple):
+    """Optimizer state for ``--params_bf16``: the fp32 master copy of the
+    parameters plus the wrapped optax state (torch-AMP master-weight
+    semantics — AdamW updates the fp32 master, the live bf16 params are
+    its cast).  Stored inside ``TrainState.opt_state`` so checkpointing,
+    resume and sharding treat it like any other optimizer moment."""
+    master: Any
+    inner: Any
+
+
+def create_train_state(params, optimizer, *, params_dtype=None) -> TrainState:
+    """``params_dtype=jnp.bfloat16`` stores the LIVE params in bf16 (halving
+    the forward+backward parameter HBM reads) while AdamW runs on an fp32
+    master kept in the optimizer state."""
+    if params_dtype is None:
+        return TrainState(params=params, opt_state=optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32))
+    low = jax.tree.map(lambda p: p.astype(params_dtype), params)
+    return TrainState(params=low,
+                      opt_state=MasterState(master=params,
+                                            inner=optimizer.init(params)),
                       step=jnp.zeros((), jnp.int32))
+
+
+def export_params(state: TrainState):
+    """The full-precision view of the model params: the fp32 master under
+    ``--params_bf16``, the live params otherwise.  Use as the template for
+    best-model saves, transplant and torch interop."""
+    if isinstance(state.opt_state, MasterState):
+        return state.opt_state.master
+    return state.params
+
+
+def replace_params(state: TrainState, new_params) -> TrainState:
+    """Swap the model params (best-model reload, transplant), keeping the
+    fp32 master consistent so the next optimizer step starts from the new
+    weights instead of silently reverting to the stale master."""
+    if isinstance(state.opt_state, MasterState):
+        master = jax.tree.map(lambda n, m: jnp.asarray(n, m.dtype),
+                              new_params, state.opt_state.master)
+        low = jax.tree.map(lambda n, p: jnp.asarray(n, p.dtype),
+                           new_params, state.params)
+        return state._replace(params=low,
+                              opt_state=state.opt_state._replace(master=master))
+    return state._replace(params=new_params)
 
 
 def _split_guides(batch: Dict):
@@ -114,6 +156,21 @@ def make_train_step(loss_fn: Callable, optimizer, *,
                          grads)) ** 0.5
 
     def apply(state: TrainState, grads) -> TrainState:
+        if isinstance(state.opt_state, MasterState):
+            # bf16 live params / fp32 master: grads (bf16) upcast once, the
+            # optimizer walks the fp32 master, and the live params are the
+            # master's exact bf16 cast — no drift channel between them.
+            g32 = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            updates, inner = optimizer.update(g32, state.opt_state.inner,
+                                              state.opt_state.master)
+            master = jax.tree.map(lambda p, u: p + u,
+                                  state.opt_state.master, updates)
+            params = jax.tree.map(lambda m, p: m.astype(p.dtype),
+                                  master, state.params)
+            return TrainState(params=params,
+                              opt_state=MasterState(master=master,
+                                                    inner=inner),
+                              step=state.step + 1)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
@@ -145,7 +202,10 @@ def make_train_step(loss_fn: Callable, optimizer, *,
             grads_acc = jax.tree.map(lambda a, g: a + g, grads_acc, grads)
             return grads_acc, metrics
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        # fp32 accumulators even under --params_bf16 (bf16 grads): summing
+        # micro-batch grads in bf16 would lose low bits every add.
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
         # rng=None (deterministic eval/parity runs): None is an empty pytree,
         # so scan passes it through to every micro-step unchanged.
         rngs = jax.random.split(rng, accum_steps) if rng is not None else None

@@ -31,8 +31,9 @@ from ..nn.bert import BertConfig, xla_attention
 from ..core.mesh import trainer_meshes
 from .ingest import GuideCache, pack_and_put
 from .optim import build_optimizer
-from .steps import (create_train_state, make_crf_decode_step, make_crf_loss_fn,
-                    make_train_step, shard_train_state)
+from .steps import (create_train_state, export_params,
+                    make_crf_decode_step, make_crf_loss_fn,
+                    make_train_step, replace_params, shard_train_state)
 
 logger = logging.getLogger(__name__)
 
@@ -69,7 +70,9 @@ class CrfTrainer:
 
         self.optimizer, self.schedule = build_optimizer(
             params, cfg, total_steps=total_steps, pipeline="crf")
-        self.state = create_train_state(params, self.optimizer)
+        self.state = create_train_state(
+            params, self.optimizer,
+            params_dtype=jnp.bfloat16 if cfg.params_bf16 else None)
 
         # Viterbi decode fused into the train program when train metrics are
         # collected — one dispatch per step instead of two (the reference
@@ -166,8 +169,8 @@ class CrfTrainer:
     def load_pretrained(self, load_path: str):
         from ..core.checkpoint import load_torch_file
         source = load_torch_file(load_path)
-        self.state = self.state._replace(
-            params=transplant(self.state.params, source))
+        self.state = replace_params(
+            self.state, transplant(export_params(self.state), source))
         self._shard_state()
 
     def _should_stop(self) -> bool:
@@ -399,7 +402,7 @@ class CrfTrainer:
             self.best_dev_epoch = epoch
             if cfg.save_path:
                 save_best(os.path.join(cfg.save_path, "best_model.npz"),
-                          self.state.params)
+                          export_params(self.state))
                 nbest, errors = eval_json(self.dev_dataset.examples, y_true,
                                           y_pred)
                 self._write_json(nbest, "dev_predictions.json")
@@ -411,8 +414,8 @@ class CrfTrainer:
         if load_best_model and cfg.save_path:
             best = os.path.join(cfg.save_path, "best_model.npz")
             if os.path.exists(best):
-                self.state = self.state._replace(
-                    params=load_best(best, self.state.params))
+                self.state = replace_params(
+                    self.state, load_best(best, export_params(self.state)))
                 self._shard_state()
         y_true, y_pred, loss = self._predict(self.test_dataset)
         f1 = tagging_scores(y_true, y_pred)["micro"]["f1"]

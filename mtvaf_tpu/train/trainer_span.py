@@ -31,8 +31,9 @@ from ..nn.bert import BertConfig, xla_attention
 from .augment import make_span_augment_fn
 from .ingest import GuideCache, pack_and_put   # noqa: F401 (re-exported)
 from .optim import build_optimizer
-from .steps import (create_train_state, make_classification_step,
-                    make_extraction_step, make_span_loss_fn, make_train_step,
+from .steps import (create_train_state, export_params,
+                    make_classification_step, make_extraction_step,
+                    make_span_loss_fn, make_train_step, replace_params,
                     shard_train_state)
 
 logger = logging.getLogger(__name__)
@@ -65,7 +66,9 @@ class SpanTrainer:
 
         self.optimizer, self.schedule = build_optimizer(
             params, cfg, total_steps=total_steps, pipeline="span")
-        self.state = create_train_state(params, self.optimizer)
+        self.state = create_train_state(
+            params, self.optimizer,
+            params_dtype=jnp.bfloat16 if cfg.params_bf16 else None)
 
         loss_fn = make_span_loss_fn(cfg, bert_cfg, attention_impl)
         augment_fn = make_span_augment_fn(cfg, bert_cfg, attention_impl) \
@@ -181,8 +184,8 @@ class SpanTrainer:
         """NER-transplant warm start (reference modules/train.py:495-521)."""
         from ..core.checkpoint import load_torch_file
         source = load_torch_file(load_path)
-        self.state = self.state._replace(
-            params=transplant(self.state.params, source))
+        self.state = replace_params(
+            self.state, transplant(export_params(self.state), source))
         self._shard_state()
 
     def train(self):
@@ -433,7 +436,7 @@ class SpanTrainer:
             self.best_dev_epoch = epoch
             if cfg.save_path:
                 save_best(os.path.join(cfg.save_path, "best_model.npz"),
-                          self.state.params)
+                          export_params(self.state))
         if cfg.save_path:
             self._write_json(nbest, "dev_predictions.json")
         return f1
@@ -443,8 +446,8 @@ class SpanTrainer:
         if load_best_model and cfg.save_path:
             best = os.path.join(cfg.save_path, "best_model.npz")
             if os.path.exists(best):
-                self.state = self.state._replace(
-                    params=load_best(best, self.state.params))
+                self.state = replace_params(
+                    self.state, load_best(best, export_params(self.state)))
                 self._shard_state()
         results = self._predict(self.test_dataset)
         metrics, nbest = eval_absa(self.test_dataset.examples,
