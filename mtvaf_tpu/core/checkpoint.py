@@ -126,8 +126,11 @@ def load_torch_file(path: str):
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
-    return {k: v.detach().numpy() if hasattr(v, "detach") else v
-            for k, v in obj.items()}
+    # np.array copy: .numpy() is a view of torch storage, and jnp.asarray
+    # zero-copies host memory — aliasing torch buffers into (donatable)
+    # params is unsafe (see core/convert._np).
+    return {k: np.array(v.detach().numpy(), copy=True)
+            if hasattr(v, "detach") else v for k, v in obj.items()}
 
 
 def transplant(target_params, source_params, *, skip_substrings=("crf",),

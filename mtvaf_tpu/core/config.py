@@ -198,6 +198,13 @@ class Config:
                                           # the reference's mask is a no-op,
                                           # models/bert_model.py:302-303) or
                                           # 'masked' (the evident intent)
+    deterministic: bool = False         # disable ALL train-time dropout (the
+                                        # trainers pass no RNG into the step):
+                                        # bit-reproducible runs for debugging
+                                        # and code-vs-code parity oracles.
+                                        # The reference has no equivalent
+                                        # (its dropout is always live in
+                                        # train mode).
 
     def __post_init__(self):
         if self.dataset_name not in SPAN_DATASETS + CRF_DATASETS:
@@ -228,6 +235,10 @@ class Config:
             raise ValueError(
                 "checkpoint_every must be >= 1 (use --no_save_checkpoints "
                 "to disable checkpointing)")
+        if self.deterministic and self.do_aug:
+            raise ValueError(
+                "deterministic training is incompatible with cutoff "
+                "augmentation (--do_aug draws random cut masks)")
 
     # ---------------------------------------------------------------------
     @property

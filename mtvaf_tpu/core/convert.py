@@ -18,10 +18,18 @@ import jax.numpy as jnp
 
 
 def _np(t) -> np.ndarray:
-    """torch tensor / numpy array → numpy."""
+    """torch tensor / numpy array → an OWNED numpy copy.
+
+    The copy is load-bearing: ``tensor.numpy()`` is a view of torch's
+    buffer and ``jnp.asarray`` zero-copies host memory on the CPU backend,
+    so without it the converted params would alias live torch storage —
+    any later in-place torch update (e.g. an optimizer step on the source
+    model) would silently mutate the "converted" JAX params, and donating
+    them to a jitted step could scribble over torch's memory.
+    """
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t)
+    return np.array(t, copy=True)
 
 
 def _lin(sd: Mapping, prefix: str) -> Dict:

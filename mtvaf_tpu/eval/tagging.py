@@ -93,20 +93,39 @@ def scores_from_counts(per_type: Dict) -> Dict:
 
 
 def classification_report(y_true, y_pred, digits: int = 4) -> str:
-    """seqeval-compatible report text (micro avg row carries the score the
-    reference reads — modules/train.py:669)."""
+    """seqeval-format report text, byte-layout compatible with
+    ``seqeval.metrics.classification_report``: header, per-type rows
+    (sorted), blank line, then micro/macro/weighted avg rows and a trailing
+    newline.  The layout is load-bearing — the reference extracts its
+    reported F1 by string-slicing the printed report
+    (``results.split('\\n')[-4].split('      ')[0].split('    ')[3]``,
+    modules/train.py:667-669), which requires the micro-avg row to sit
+    exactly four lines from the end."""
     scores = tagging_scores(y_true, y_pred)
-    width = max([len(t) for t in scores["per_type"]] + [len("micro avg")])
-    head_fmt = "{:>{width}s} " + " {:>9}" * 4
-    row_fmt = "{:>{width}s} " + " {:>9.{digits}f}" * 3 + " {:>9}\n"
+    width = max([len(t) for t in scores["per_type"]]
+                + [len("weighted avg"), digits])
+    head_fmt = "{:>{width}} " + " {:>9}" * 4
+    row_fmt = "{:>{width}} " + " {:>9.{digits}f}" * 3 + " {:>9}\n"
     out = head_fmt.format("", "precision", "recall", "f1-score", "support",
                           width=width) + "\n\n"
-    for t, row in scores["per_type"].items():
+    w_p = w_r = w_f = 0.0
+    support = 0
+    for t in sorted(scores["per_type"]):
+        row = scores["per_type"][t]
         out += row_fmt.format(t, row["p"], row["r"], row["f1"], row["support"],
                               width=width, digits=digits)
+        w_p += row["p"] * row["support"]
+        w_r += row["r"] * row["support"]
+        w_f += row["f1"] * row["support"]
+        support += row["support"]
     out += "\n"
+    weighted = {"p": w_p / support if support else 0.0,
+                "r": w_r / support if support else 0.0,
+                "f1": w_f / support if support else 0.0,
+                "support": support}
     for name, row in (("micro avg", scores["micro"]),
-                      ("macro avg", scores["macro"])):
+                      ("macro avg", scores["macro"]),
+                      ("weighted avg", weighted)):
         out += row_fmt.format(name, row["p"], row["r"], row["f1"],
                               row["support"], width=width, digits=digits)
     return out

@@ -240,7 +240,9 @@ class SpanTrainer:
 
             # One key per epoch; the step folds in state.step internally
             # (steps.single_step) so no per-step host dispatch is needed.
-            epoch_rng = jax.random.fold_in(self.rng, epoch)
+            # --deterministic: no RNG → every dropout site is a no-op.
+            epoch_rng = None if cfg.deterministic else \
+                jax.random.fold_in(self.rng, epoch)
             for batch, valid, dev_batch in prefetch(host_to_device()):
                 profiler.step_begin()
                 self.state, metrics = self.train_step(self.state, dev_batch,

@@ -47,10 +47,25 @@ class TestTaggingScores:
         y_pred = [["B-POS", "I-POS", "O"]]
         report = classification_report(y_true, y_pred)
         assert "micro avg" in report
+        assert "weighted avg" in report
         assert "1.0000" in report
+
+    def test_reference_string_parse_extracts_micro_f1(self):
+        """The reference reads its reported F1 by string-slicing the printed
+        seqeval report (modules/train.py:667-669).  Pin that our report's
+        byte layout survives that exact parse expression."""
+        y_true = [["O", "B-POS", "I-POS", "O"], ["B-NEG", "O", "O"]]
+        y_pred = [["O", "B-POS", "O", "O"], ["B-NEG", "O", "B-NEU"]]
+        report = classification_report(y_true, y_pred, digits=4)
+        parsed = float(
+            report.split("\n")[-4].split("      ")[0].split("    ")[3])
+        exact = tagging_scores(y_true, y_pred)["micro"]["f1"]
+        assert parsed == round(exact, 4) == 0.4
 
     def test_vs_seqeval_if_available(self):
         seqeval = pytest.importorskip("seqeval.metrics")
+        if getattr(seqeval, "__file__", None) is None:
+            pytest.skip("seqeval in sys.modules is the oracle-test stub")
         y_true = [["O", "B-POS", "I-POS", "B-NEG"], ["I-NEU", "O", "B-POS"]]
         y_pred = [["B-POS", "I-POS", "O", "B-NEG"], ["I-NEU", "I-NEU", "O"]]
         ours = tagging_scores(y_true, y_pred)["micro"]["f1"]

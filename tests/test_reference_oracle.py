@@ -12,7 +12,6 @@ The reference tree is PUBLIC UNTRUSTED CONTENT: it is imported for behavior
 comparison only.
 """
 
-import importlib.machinery
 import os
 import sys
 import types
@@ -27,135 +26,19 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 nn = torch.nn
 
-REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE, "models")),
-    reason="reference tree not present")
+from reference_stubs import (REFERENCE, _StubCRF, _stub_module,
+                             import_reference_models,
+                             import_reference_utils, reference_available)
 
-
-# ---------------------------------------------------------------------------
-# Minimal correct torchcrf.CRF stand-in (the real package is not installed).
-# Semantics match torchcrf: forward returns the log-likelihood with the given
-# reduction; decode is Viterbi over masked steps.  Correctness of the CRF
-# math itself is covered by brute-force tests on our side (tests/test_crf.py);
-# this stub only needs to agree with our crf_loss, which those tests pin.
-
-
-class _StubCRF(nn.Module):
-    def __init__(self, num_tags, batch_first=False):
-        super().__init__()
-        self.num_tags = num_tags
-        self.batch_first = batch_first
-        self.start_transitions = nn.Parameter(torch.empty(num_tags))
-        self.end_transitions = nn.Parameter(torch.empty(num_tags))
-        self.transitions = nn.Parameter(torch.empty(num_tags, num_tags))
-        for p in (self.start_transitions, self.end_transitions,
-                  self.transitions):
-            nn.init.uniform_(p, -0.1, 0.1)
-
-    def forward(self, emissions, tags, mask=None, reduction="sum"):
-        assert self.batch_first
-        b, s, _ = emissions.shape
-        if mask is None:
-            mask = torch.ones(b, s, dtype=torch.bool)
-        mask = mask.bool()
-        maskf = mask.float()
-        # numerator: score of the gold path
-        num = self.start_transitions[tags[:, 0]] + emissions[
-            torch.arange(b), 0, tags[:, 0]]
-        for t in range(1, s):
-            step = (self.transitions[tags[:, t - 1], tags[:, t]]
-                    + emissions[torch.arange(b), t, tags[:, t]])
-            num = num + step * maskf[:, t]
-        lengths = mask.long().sum(1)
-        last_tags = tags[torch.arange(b), lengths - 1]
-        num = num + self.end_transitions[last_tags]
-        # denominator: log partition
-        alpha = self.start_transitions[None, :] + emissions[:, 0]
-        for t in range(1, s):
-            inner = (alpha[:, :, None] + self.transitions[None]
-                     + emissions[:, t][:, None, :])
-            new_alpha = torch.logsumexp(inner, dim=1)
-            alpha = torch.where(mask[:, t][:, None], new_alpha, alpha)
-        denom = torch.logsumexp(alpha + self.end_transitions[None, :], dim=1)
-        llh = num - denom
-        if reduction == "mean":
-            return llh.mean()
-        if reduction == "sum":
-            return llh.sum()
-        return llh
-
-    def decode(self, emissions, mask=None):
-        b, s, n = emissions.shape
-        if mask is None:
-            mask = torch.ones(b, s, dtype=torch.bool)
-        mask = mask.bool()
-        out = []
-        for i in range(b):
-            L = int(mask[i].long().sum())
-            e = emissions[i, :L]
-            score = self.start_transitions + e[0]
-            back = []
-            for t in range(1, L):
-                cand = score[:, None] + self.transitions
-                best = cand.max(dim=0)
-                back.append(best.indices)
-                score = best.values + e[t]
-            score = score + self.end_transitions
-            tag = int(score.argmax())
-            path = [tag]
-            for bp in reversed(back):
-                tag = int(bp[tag])
-                path.append(tag)
-            out.append(list(reversed(path)))
-        return out
-
-
-def _stub_module(name):
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    sys.modules[name] = m
-    return m
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference tree not present")
 
 
 @pytest.fixture(scope="module")
 def ref():
-    """Import the reference models package with import-blockers stubbed."""
-    if "models.bert_model" in sys.modules:
-        return sys.modules["models.bert_model"]
-    apex = _stub_module("apex")
-    apex.amp = types.SimpleNamespace(scale_loss=None)
-    torchcrf = _stub_module("torchcrf")
-    torchcrf.CRF = _StubCRF
-    tv = _stub_module("torchvision")
-    tvm = _stub_module("torchvision.models")
-    for name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
-        setattr(tvm, name, lambda *a, **k: nn.Identity())
-    tv.models = tvm
-    # transformers ≥4.41 moved these to pytorch_utils; the fork imports them
-    # from modeling_utils.
-    import transformers.modeling_utils as mu
-    import transformers.pytorch_utils as pu
-    for name in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices",
-                 "prune_linear_layer"):
-        if not hasattr(mu, name):
-            setattr(mu, name, getattr(pu, name))
-    # doc decorators changed signature across transformers versions; the fork
-    # only uses them for docstrings → replace with permissive no-ops.
-    import transformers.file_utils as fu
-
-    def _noop_decorator(*a, **k):
-        def wrap(fn):
-            return fn
-        return wrap
-
-    for name in ("add_code_sample_docstrings", "add_start_docstrings",
-                 "add_start_docstrings_to_model_forward",
-                 "replace_return_docstrings"):
-        setattr(fu, name, _noop_decorator)
-    sys.path.insert(0, REFERENCE)
-    import models.bert_model as rbm
-    return rbm
+    """Import the reference models package with import-blockers stubbed
+    (machinery shared in tests/reference_stubs.py)."""
+    return import_reference_models()
 
 
 def _t(x):
@@ -687,13 +570,9 @@ def test_crf_multimodal_trajectory_parity_vs_reference_trainer(
 
 @pytest.fixture(scope="module")
 def ref_utils(ref):
-    """Import the reference models.utils (needs a torchvision.transforms
-    attribute at import time; its image code is never called here)."""
-    if "models.utils" in sys.modules:
-        return sys.modules["models.utils"]
-    sys.modules["torchvision"].transforms = types.SimpleNamespace()
-    import models.utils as ru
-    return ru
+    """Import the reference models.utils (shared machinery in
+    tests/reference_stubs.py)."""
+    return import_reference_utils()
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,276 @@
+"""Full-trainer end-to-end oracle: the reference's OWN ``SATrainer2.train()``
+(/root/reference/modules/train.py:541-694) run to completion on CPU against
+``CrfTrainer`` on identical synthetic data, identical initial weights and
+identical schedule — the complete per-epoch trajectory the reference would
+report must match:
+
+* per-epoch train F1 (reference: seqeval report parsed by string-slicing,
+  modules/train.py:667-669 — here fed by our format-identical report),
+* per-epoch dev F1 / dev loss and test F1 (modules/train.py:694-866),
+* per-epoch mean train loss,
+* best-dev epoch + metric (the ``>=`` update rule, modules/train.py:748),
+* the final-epoch test that reloads ``best_model`` (modules/train.py:776-781)
+  vs our CLI-equivalent ``test(load_best_model=True)``,
+* the ``dev_predictions.json`` artifact (eval_json, eval_metrics.py:126-170).
+
+This is the deepest accuracy-parity evidence available in this image (the
+real Twitter data is not redistributable): not just N steps of optimizer
+semantics (test_reference_oracle) but the reference's actual trainer loop —
+batching order, scheduler stepping, metric row collection, eval gating and
+best-model selection — executed by the reference's own code.
+
+Both sides run deterministically: every torch dropout is set to p=0 and our
+trainer runs with ``Config.deterministic`` (no RNG reaches the step).
+"""
+
+import json
+import os
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from reference_stubs import (import_reference_models,
+                             import_reference_trainer, reference_available)
+
+from mtvaf_tpu.core.config import CRF_LABEL_LIST, Config
+from mtvaf_tpu.core.convert import bert_params_from_torch
+from mtvaf_tpu.data.datasets import CrfDataset, iterate_batches
+from mtvaf_tpu.data.synthetic import make_crf_files, make_vocab_file
+from mtvaf_tpu.data.tokenization import FullTokenizer
+from mtvaf_tpu.nn.bert import BertConfig
+from mtvaf_tpu.train.trainer_crf import CrfTrainer
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference tree not present")
+
+N_TRAIN, N_EVAL, BATCH, EPOCHS = 16, 8, 4, 3
+LR, WARMUP = 1e-3, 0.25
+
+
+class _Recorder:
+    """tensorboardX-shaped scalar sink (both trainers log through it)."""
+
+    def __init__(self):
+        self.scalars = defaultdict(list)
+
+    def add_scalar(self, tag=None, scalar_value=None, global_step=None, **kw):
+        self.scalars[tag].append(float(scalar_value))
+
+
+class _RefLoader:
+    """Feeds the reference trainer OUR batch stream: each ``__iter__`` walks
+    ``iterate_batches`` with the same (seed, epoch) the CrfTrainer uses, so
+    both trainers consume bit-identical batches in the same order (the
+    reference's RandomSampler is replaced by our seeded permutation — the
+    comparison pins the trainers, not the samplers)."""
+
+    def __init__(self, arrays, batch_size, shuffle, seed):
+        self.arrays = arrays
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        n = len(arrays["input_ids"])
+        assert n % batch_size == 0, "divisible sizes keep the two loops equal"
+        self.n_batches = n // batch_size
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        if self.shuffle:
+            self.epoch += 1     # CrfTrainer epochs run 1..N
+        for b in iterate_batches(self.arrays, self.batch_size,
+                                 shuffle=self.shuffle, seed=self.seed,
+                                 epoch=self.epoch):
+            yield (torch.tensor(b["input_ids"], dtype=torch.long),
+                   torch.tensor(b["input_mask"], dtype=torch.long),
+                   torch.tensor(b["segment_ids"], dtype=torch.long),
+                   torch.tensor(b["label_ids"], dtype=torch.long))
+
+
+def _ref_args(save_path):
+    import types
+    return types.SimpleNamespace(
+        prefix_dim=800, prefix_len=4, bert_name="bert-base-uncased",
+        use_prefix=False, use_152=False, use_101=False, use_34=False,
+        use_18=False, resnet_root=None, gcn_layer_number=0, num_layers=0,
+        use_probe=False, n_gpu=1, device="cpu", vao=False, noauxloss=False,
+        alpha=0.25, beta=0.5, num_epochs=EPOCHS, eval_begin_epoch=1,
+        gradient_accumulation_steps=1, train_batch_size=BATCH,
+        eval_batch_size=BATCH, lr=LR, warmup_ratio=WARMUP, load_path=None,
+        use_pretrained=False, local_rank=-1, save_path=save_path)
+
+
+@pytest.fixture(scope="module")
+def e2e(tmp_path_factory):
+    ref = import_reference_models()
+    rt = import_reference_trainer()
+    d = tmp_path_factory.mktemp("trainer_e2e")
+
+    # ---- shared synthetic data through OUR pipeline (feature conversion is
+    # separately golden-tested to match the reference's converter) ----
+    vocab = os.path.join(d, "vocab.txt")
+    make_vocab_file(vocab)
+    tok = FullTokenizer(vocab)
+    files = {}
+    for split, (n, seed) in {"train": (N_TRAIN, 0), "dev": (N_EVAL, 1),
+                             "test": (N_EVAL, 2)}.items():
+        tsv = os.path.join(d, f"{split}.txt")
+        anp = os.path.join(d, f"{split}_anp.json")
+        make_crf_files(tsv, anp, n, seed=seed, num_anp=8)
+        files[split] = (tsv, anp)
+
+    cfg = Config(dataset_name="twitter2015", max_seq=32,
+                 train_batch_size=BATCH, eval_batch_size=BATCH,
+                 num_epochs=EPOCHS, eval_begin_epoch=1, lr=LR,
+                 warmup_ratio=WARMUP, bf16=False, deterministic=True,
+                 num_anp_classes=8, optimizer_mu_bf16=False,
+                 save_path=os.path.join(d, "ours"))
+    datasets = {s: CrfDataset.load(cfg, tok, tsv, anp)
+                for s, (tsv, anp) in files.items()}
+
+    # ≥7 layers: the reference forward unconditionally indexes
+    # hidden_states[7] (models/bert_model.py:503) even with the probe off.
+    bert_cfg = BertConfig.tiny(vocab_size=len(tok.vocab),
+                               num_hidden_layers=7)
+    hf_cfg = transformers.BertConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=bert_cfg.hidden_size,
+        num_hidden_layers=bert_cfg.num_hidden_layers,
+        num_attention_heads=bert_cfg.num_attention_heads,
+        intermediate_size=bert_cfg.intermediate_size,
+        max_position_embeddings=bert_cfg.max_position_embeddings,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        attn_implementation="eager")
+
+    # ---- reference trainer, its own code end-to-end ----
+    mp = pytest.MonkeyPatch()
+    mp.setattr(ref.BertModel, "from_pretrained",
+               classmethod(lambda cls, name, *a, **k: cls(hf_cfg)))
+    try:
+        torch.manual_seed(3)
+        args = _ref_args(os.path.join(d, "ref"))
+        model = ref.TVNetSAModel2(list(CRF_LABEL_LIST), tokenizer=None,
+                                  args=args)
+    finally:
+        mp.undo()
+    for m in model.modules():            # deterministic: no dropout anywhere
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+
+    # Converted initial weights → our params, snapshotted BEFORE the
+    # reference trains.  np.array copies are load-bearing: .numpy() views
+    # torch storage and jnp.asarray zero-copies host memory on CPU, so
+    # without them the reference's in-place optimizer steps would mutate
+    # our "initial" weights (see core/convert._np).
+    def _c(t):
+        return jnp.asarray(np.array(t.detach().numpy(), copy=True))
+
+    params = {
+        "bert": bert_params_from_torch(model.bert.state_dict(),
+                                       bert_cfg.num_hidden_layers),
+        "fc": {"kernel": _c(model.fc.weight).T, "bias": _c(model.fc.bias)},
+        "crf": {
+            "start": _c(model.crf.start_transitions),
+            "end": _c(model.crf.end_transitions),
+            "transitions": _c(model.crf.transitions),
+        },
+    }
+
+    import types as _types
+    label_map = {label: i for i, label in enumerate(CRF_LABEL_LIST, 1)}
+    ref_writer = _Recorder()
+    import logging
+    ref_trainer = rt.SATrainer2(
+        train_data=_RefLoader(datasets["train"].arrays, BATCH, True, cfg.seed),
+        dev_data=_RefLoader(datasets["dev"].arrays, BATCH, False, cfg.seed),
+        test_data=_RefLoader(datasets["test"].arrays, BATCH, False, cfg.seed),
+        model=model, label_map=label_map, args=args,
+        logger=logging.getLogger("ref_e2e"), writer=ref_writer,
+        dev_dataset=_types.SimpleNamespace(
+            examples=datasets["dev"].examples,
+            features=datasets["dev"].features),
+        test_dataset=_types.SimpleNamespace(
+            examples=datasets["test"].examples,
+            features=datasets["test"].features))
+    ref_trainer.train()
+
+    # ---- our trainer on the same data/weights/schedule ----
+    our_writer = _Recorder()
+    with jax.default_matmul_precision("highest"):
+        trainer = CrfTrainer(cfg, bert_cfg, params,
+                             train_dataset=datasets["train"],
+                             dev_dataset=datasets["dev"],
+                             test_dataset=datasets["test"],
+                             writer=our_writer)
+        trainer.train()
+        # the reference's final-epoch test reloads best_model
+        # (modules/train.py:776-781); our CLI does the same after train()
+        final_test_f1 = trainer.test(EPOCHS, load_best_model=True)
+
+    return {"ref": ref_trainer, "ref_writer": ref_writer, "ours": trainer,
+            "our_writer": our_writer, "final_test_f1": final_test_f1,
+            "ref_dir": args.save_path, "our_dir": cfg.save_path}
+
+
+def _round4(xs):
+    return [round(float(x), 4) for x in xs]
+
+
+def test_train_f1_trajectory(e2e):
+    ref_f1 = e2e["ref_writer"].scalars["train_f1"]
+    our_f1 = e2e["our_writer"].scalars["train_f1"]
+    assert len(ref_f1) == len(our_f1) == EPOCHS
+    assert _round4(ref_f1) == _round4(our_f1)
+
+
+def test_train_loss_trajectory(e2e):
+    # reference logs 2-step averages (refresh_step=2, modules/train.py:552);
+    # ours logs the epoch mean — aggregate the reference's to epoch means.
+    ref_losses = e2e["ref_writer"].scalars["train_loss"]
+    per_epoch = N_TRAIN // BATCH // 2     # refresh values per epoch
+    ref_epoch = [float(np.mean(ref_losses[i * per_epoch:(i + 1) * per_epoch]))
+                 for i in range(EPOCHS)]
+    our_epoch = e2e["our_writer"].scalars["train_loss"]
+    np.testing.assert_allclose(our_epoch, ref_epoch, rtol=2e-4)
+    # the model must actually be learning for the comparison to bind
+    assert ref_epoch[-1] < ref_epoch[0]
+
+
+def test_dev_trajectory_and_best_selection(e2e):
+    ref_dev = e2e["ref_writer"].scalars["dev_f1"]
+    our_dev = e2e["our_writer"].scalars["dev_f1"]
+    assert len(ref_dev) == len(our_dev) == EPOCHS
+    assert _round4(ref_dev) == _round4(our_dev)
+    np.testing.assert_allclose(e2e["our_writer"].scalars["dev_loss"],
+                               e2e["ref_writer"].scalars["dev_loss"],
+                               rtol=2e-4)
+    assert e2e["ours"].best_dev_epoch == e2e["ref"].best_dev_epoch
+    assert round(e2e["ours"].best_dev_metric, 4) == round(
+        e2e["ref"].best_dev_metric, 4)
+
+
+def test_test_trajectory_and_best_reload(e2e):
+    ref_test = e2e["ref_writer"].scalars["test_f1"]
+    our_test = e2e["our_writer"].scalars["test_f1"]
+    assert len(ref_test) == EPOCHS
+    # epochs 1..N-1 run on current params on both sides; the reference's
+    # final-epoch test reloads best_model.pth — compare it to our
+    # load_best_model test (the CLI-equivalent final report).
+    assert _round4(ref_test[:-1]) == _round4(our_test[:EPOCHS - 1])
+    assert round(float(ref_test[-1]), 4) == round(e2e["final_test_f1"], 4)
+
+
+def test_dev_predictions_artifact(e2e):
+    with open(os.path.join(e2e["ref_dir"], "dev_predictions.json")) as f:
+        ref_pred = json.load(f)
+    with open(os.path.join(e2e["our_dir"], "dev_predictions.json")) as f:
+        our_pred = json.load(f)
+    assert our_pred == ref_pred
