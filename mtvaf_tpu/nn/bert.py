@@ -141,8 +141,11 @@ def init_bert_params(rng, cfg: BertConfig):
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     return {
         "embeddings": {
+            # HF _init_weights zeroes the padding_idx row; with the
+            # pad-position stop_gradient in bert_embeddings it stays zero.
             "word": embedding_init(ks[-5], cfg.vocab_size, cfg.hidden_size,
-                                   stddev=cfg.initializer_range),
+                                   stddev=cfg.initializer_range
+                                   ).at[cfg.pad_token_id].set(0.0),
             "position": embedding_init(ks[-4], cfg.max_position_embeddings,
                                        cfg.hidden_size, stddev=cfg.initializer_range),
             "token_type": embedding_init(ks[-3], cfg.type_vocab_size,
@@ -255,8 +258,20 @@ def bert_embeddings(params, cfg: BertConfig, input_ids, token_type_ids=None,
             position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     if token_type_ids is None:
         token_type_ids = jnp.zeros((b, s), jnp.int32)
-    x = (embedding_lookup(emb["word"], input_ids, dtype)
-         + embedding_lookup(emb["position"], position_ids, dtype)
+    # torch nn.Embedding(padding_idx=pad) zeroes d loss/d table[pad] — the
+    # reference's pad row is zero at init and NEVER moves even though pad
+    # positions feed the encoder (and, in the span model, the unmasked
+    # distant-CE softmax).  Replicate by cutting the gradient at pad
+    # positions: forward unchanged, backward scatter-adds zeros into the
+    # row.  RoBERTa's position table has padding_idx too (pad positions get
+    # position_id == pad_token_id from roberta_position_ids).
+    pad = (input_ids == cfg.pad_token_id)[..., None]
+    word = embedding_lookup(emb["word"], input_ids, dtype)
+    word = jnp.where(pad, jax.lax.stop_gradient(word), word)
+    pos = embedding_lookup(emb["position"], position_ids, dtype)
+    if cfg.is_roberta:
+        pos = jnp.where(pad, jax.lax.stop_gradient(pos), pos)
+    x = (word + pos
          + embedding_lookup(emb["token_type"], token_type_ids, dtype))
     x = layer_norm(emb["ln"], x, eps=cfg.layer_norm_eps)
     return dropout(x, cfg.hidden_dropout_prob, rng)

@@ -300,3 +300,45 @@ class TestRemat:
         # no config.json -> base defaults
         assert BertConfig.from_hf_dir(str(tmp_path / "nope")) == \
             BertConfig.base()
+
+
+class TestPaddingIdxGradient:
+    """torch nn.Embedding(padding_idx=pad) hard-zeroes d loss/d table[pad];
+    a plain JAX gather backprops into the pad row instead.  The span model's
+    distant-CE softmax runs over pad positions (models/bert_model.py:181-190
+    has no mask), so without the pad-position stop_gradient in
+    bert_embeddings the [PAD] row drifts off zero and training trajectories
+    diverge from the reference (caught by test_reference_trainer_e2e)."""
+
+    def test_word_embedding_grad_parity_on_padded_batch(self, tiny):
+        cfg, hf, params = tiny
+        input_ids, mask = rand_inputs(cfg, seed=3)
+        input_ids[:, -4:] = 0                       # real [PAD] positions
+        mask[:, -4:] = 0
+
+        t_ids = torch.tensor(input_ids, dtype=torch.long)
+        t_mask = torch.tensor(mask, dtype=torch.long)
+        # a loss that sums over ALL positions, pads included, like the
+        # reference span model's unmasked distant CE
+        out = hf(input_ids=t_ids, attention_mask=t_mask).last_hidden_state
+        out.sum().backward()
+        g_ref = hf.embeddings.word_embeddings.weight.grad.detach().numpy()
+        hf.zero_grad()
+
+        def loss(p):
+            with jax.default_matmul_precision("highest"):
+                o = bert_model(p, cfg, jnp.asarray(input_ids),
+                               jnp.asarray(mask))
+            return o["last_hidden_state"].sum()
+
+        g = np.asarray(jax.grad(loss)(params)["embeddings"]["word"])
+        assert np.all(g[cfg.pad_token_id] == 0.0)
+        assert np.abs(g_ref[cfg.pad_token_id]).max() == 0.0
+        np.testing.assert_allclose(g, g_ref, atol=2e-4, rtol=2e-4)
+
+    def test_init_zeroes_pad_row(self, rng_key):
+        from mtvaf_tpu.nn.bert import init_bert_params
+        cfg = BertConfig.tiny()
+        p = init_bert_params(rng_key, cfg)
+        assert np.all(np.asarray(p["embeddings"]["word"][cfg.pad_token_id])
+                      == 0.0)

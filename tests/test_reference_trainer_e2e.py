@@ -274,3 +274,213 @@ def test_dev_predictions_artifact(e2e):
     with open(os.path.join(e2e["our_dir"], "dev_predictions.json")) as f:
         our_pred = json.load(f)
     assert our_pred == ref_pred
+
+
+# ===========================================================================
+# Pipeline A: the reference's own SATrainer.train() (modules/train.py:63-178)
+# run to completion vs SpanTrainer — per-epoch train loss/F1 (train F1 goes
+# through the reference's per-step span_annotate_candidates train branch +
+# eval_absa, modules/train.py:122-146), dev F1 + best-dev selection
+# (modules/train.py:235-238), the prediction artifacts, and the final
+# SATrainer.test() that reloads best_model (modules/train.py:258-261).
+# The reference's dev LOSS has no counterpart here (our eval seam never
+# computes a loss over eval-branch candidates) — dev selection is on F1 on
+# both sides, so nothing observable depends on it.
+
+
+class _RefSpanLoader:
+    """Feeds the reference SATrainer OUR span batch stream as the 8-tuple
+    its text-only `_step` unpacks (modules/train.py:363-369), with the same
+    (seed, epoch) walk the SpanTrainer uses."""
+
+    KEYS = ("input_ids", "input_mask", "segment_ids", "example_index",
+            "start_positions", "end_positions", "bio_labels",
+            "polarity_positions")
+
+    def __init__(self, arrays, batch_size, shuffle, seed):
+        self.arrays = arrays
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        n = len(arrays["input_ids"])
+        assert n % batch_size == 0, "divisible sizes keep the two loops equal"
+        self.n_batches = n // batch_size
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        if self.shuffle:
+            self.epoch += 1
+        for b in iterate_batches(self.arrays, self.batch_size,
+                                 shuffle=self.shuffle, seed=self.seed,
+                                 epoch=self.epoch):
+            yield tuple(torch.tensor(b[k], dtype=torch.long)
+                        for k in self.KEYS)
+
+
+def _ref_span_args(cfg, save_path):
+    import types
+    return types.SimpleNamespace(
+        prefix_dim=800, prefix_len=4, bert_name="bert-base-uncased",
+        use_prefix=False, use_152=False, use_101=False, use_34=False,
+        use_18=False, resnet_root=None, gcn_layer_number=0, num_layers=0,
+        use_probe=False, n_gpu=1, device="cpu", vao=False, noauxloss=False,
+        alpha=0.25, beta=0.5, num_epochs=EPOCHS, eval_begin_epoch=1,
+        gradient_accumulation_steps=1, train_batch_size=BATCH,
+        eval_batch_size=BATCH, lr=LR, warmup_ratio=WARMUP, load_path=None,
+        use_pretrained=False, local_rank=-1, save_path=save_path,
+        do_aug=False, do_lower_case=cfg.do_lower_case,
+        verbose_logging=cfg.verbose_logging, filter_type=cfg.filter_type,
+        use_heuristics=cfg.use_heuristics, use_nms=cfg.use_nms,
+        logit_threshold=cfg.logit_threshold, n_best_size=cfg.n_best_size,
+        max_answer_length=cfg.max_answer_length)
+
+
+@pytest.fixture(scope="module")
+def span_e2e(tmp_path_factory):
+    from mtvaf_tpu.data.datasets import SpanDataset
+    from mtvaf_tpu.data.synthetic import make_span_file
+    from mtvaf_tpu.train.trainer_span import SpanTrainer
+
+    ref = import_reference_models()
+    rt = import_reference_trainer()
+    d = tmp_path_factory.mktemp("span_trainer_e2e")
+
+    vocab = os.path.join(d, "vocab.txt")
+    make_vocab_file(vocab)
+    tok = FullTokenizer(vocab)
+    cfg = Config(dataset_name="twitter15", max_seq=32,
+                 train_batch_size=BATCH, eval_batch_size=BATCH,
+                 num_epochs=EPOCHS, eval_begin_epoch=1, lr=LR,
+                 warmup_ratio=WARMUP, bf16=False, deterministic=True,
+                 optimizer_mu_bf16=False, max_answer_length=4,
+                 save_path=os.path.join(d, "ours"))
+    datasets = {}
+    for split, (n, seed) in {"train": (N_TRAIN, 0), "dev": (N_EVAL, 1),
+                             "test": (N_EVAL, 2)}.items():
+        f = os.path.join(d, f"{split}.txt")
+        make_span_file(f, n, seed=seed, max_len=14)
+        datasets[split] = SpanDataset.load(cfg, tok, f, mode=split)
+
+    # ≥8 layers: TVNetSAModel.extraction taps hidden_states[7]
+    # (models/bert_model.py:258-268).
+    bert_cfg = BertConfig.tiny(vocab_size=len(tok.vocab),
+                               num_hidden_layers=8)
+    hf_cfg = transformers.BertConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=bert_cfg.hidden_size,
+        num_hidden_layers=bert_cfg.num_hidden_layers,
+        num_attention_heads=bert_cfg.num_attention_heads,
+        intermediate_size=bert_cfg.intermediate_size,
+        max_position_embeddings=bert_cfg.max_position_embeddings,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        attn_implementation="eager")
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(ref.BertModel, "from_pretrained",
+               classmethod(lambda cls, name, *a, **k: cls(hf_cfg)))
+    try:
+        torch.manual_seed(7)
+        args = _ref_span_args(cfg, os.path.join(d, "ref"))
+        model = ref.TVNetSAModel(list(range(4)), tokenizer=None, args=args)
+    finally:
+        mp.undo()
+    for m in model.modules():            # deterministic: no dropout anywhere
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+
+    def _c(t):                           # owned copy (see crf fixture)
+        return jnp.asarray(np.array(t.detach().numpy(), copy=True))
+
+    def _dense(lin):
+        return {"kernel": _c(lin.weight).T, "bias": _c(lin.bias)}
+
+    params = {
+        "bert": bert_params_from_torch(model.bert.state_dict(),
+                                       bert_cfg.num_hidden_layers),
+        "dense": _dense(model.dense),
+        "unary_affine": _dense(model.unary_affine),
+        "binary_affine": _dense(model.binary_affine),
+        "classifier": _dense(model.classifier),
+    }
+
+    import types as _types
+    os.makedirs(args.save_path, exist_ok=True)
+    ref_writer = _Recorder()
+    import logging
+    mk = lambda ds: _types.SimpleNamespace(
+        examples=ds.examples, features=ds.features, img_path=None,
+        data_dict=None, tokenizer=None, max_seq=cfg.max_seq)
+    ref_trainer = rt.SATrainer(
+        train_data=_RefSpanLoader(datasets["train"].arrays, BATCH, True,
+                                  cfg.seed),
+        dev_data=_RefSpanLoader(datasets["dev"].arrays, BATCH, False,
+                                cfg.seed),
+        test_data=_RefSpanLoader(datasets["test"].arrays, BATCH, False,
+                                 cfg.seed),
+        model=model, label_map=None, args=args,
+        logger=logging.getLogger("ref_span_e2e"), writer=ref_writer,
+        train_dataset=mk(datasets["train"]), dev_dataset=mk(datasets["dev"]),
+        test_dataset=mk(datasets["test"]))
+    ref_trainer.train()
+    ref_test_f1 = ref_trainer.test()
+
+    our_writer = _Recorder()
+    with jax.default_matmul_precision("highest"):
+        trainer = SpanTrainer(cfg, bert_cfg, params,
+                              train_dataset=datasets["train"],
+                              dev_dataset=datasets["dev"],
+                              test_dataset=datasets["test"],
+                              writer=our_writer)
+        trainer.train()
+        final_test_f1 = trainer.test(load_best_model=True)
+
+    return {"ref": ref_trainer, "ref_writer": ref_writer, "ours": trainer,
+            "our_writer": our_writer, "ref_test_f1": ref_test_f1,
+            "final_test_f1": final_test_f1, "ref_dir": args.save_path,
+            "our_dir": cfg.save_path}
+
+
+def test_span_train_f1_trajectory(span_e2e):
+    ref_f1 = span_e2e["ref_writer"].scalars["train_f1"]
+    our_f1 = span_e2e["our_writer"].scalars["train_f1"]
+    assert len(ref_f1) == len(our_f1) == EPOCHS
+    assert _round4(ref_f1) == _round4(our_f1)
+    # the comparison must bind: training has to actually move the metric
+    assert max(ref_f1) > min(ref_f1) or max(ref_f1) > 0
+
+
+def test_span_train_loss_trajectory(span_e2e):
+    ref_losses = span_e2e["ref_writer"].scalars["train_loss"]
+    per_epoch = N_TRAIN // BATCH // 2     # refresh_step=2 values per epoch
+    ref_epoch = [float(np.mean(ref_losses[i * per_epoch:(i + 1) * per_epoch]))
+                 for i in range(EPOCHS)]
+    our_epoch = span_e2e["our_writer"].scalars["train_loss"]
+    np.testing.assert_allclose(our_epoch, ref_epoch, rtol=2e-4)
+    assert ref_epoch[-1] < ref_epoch[0]
+
+
+def test_span_dev_trajectory_and_best_selection(span_e2e):
+    ref_dev = span_e2e["ref_writer"].scalars["dev_f1"]
+    our_dev = span_e2e["our_writer"].scalars["dev_f1"]
+    assert len(ref_dev) == len(our_dev) == EPOCHS
+    assert _round4(ref_dev) == _round4(our_dev)
+    assert span_e2e["ours"].best_dev_epoch == span_e2e["ref"].best_dev_epoch
+    assert round(span_e2e["ours"].best_dev_metric, 4) == round(
+        span_e2e["ref"].best_dev_metric, 4)
+
+
+def test_span_test_with_best_reload(span_e2e):
+    assert round(float(span_e2e["ref_test_f1"]), 4) == round(
+        span_e2e["final_test_f1"], 4)
+
+
+def test_span_prediction_artifacts(span_e2e):
+    for name in ("train_predictions.json", "dev_predictions.json",
+                 "test_predictions.json"):
+        with open(os.path.join(span_e2e["ref_dir"], name)) as f:
+            ref_pred = json.load(f)
+        with open(os.path.join(span_e2e["our_dir"], name)) as f:
+            our_pred = json.load(f)
+        assert our_pred == ref_pred, name
