@@ -22,16 +22,24 @@ import jax
 import optax
 
 
-def linear_warmup_schedule(base_lr: float, warmup_steps: int, total_steps: int):
-    """HF get_linear_schedule_with_warmup equivalent."""
-    warmup_steps = max(int(warmup_steps), 0)
+def linear_warmup_schedule(base_lr: float, warmup_steps: float,
+                           total_steps: int):
+    """HF get_linear_schedule_with_warmup equivalent.
+
+    ``warmup_steps`` may be FRACTIONAL: the reference passes
+    ``warmup_ratio * train_num_steps`` straight through
+    (modules/train.py:464-466) and HF's lambda compares/divides with the
+    float, so truncating to int would skew every warmup lr by up to
+    1/warmup_steps."""
+    warmup_steps = max(float(warmup_steps), 0.0)
 
     def schedule(step):
         import jax.numpy as jnp
         step = jnp.asarray(step, jnp.float32)
-        warm = step / jnp.maximum(warmup_steps, 1)
+        warm = step / jnp.maximum(warmup_steps, 1.0)
         decay = jnp.maximum(
-            (total_steps - step) / jnp.maximum(total_steps - warmup_steps, 1), 0.0)
+            (total_steps - step) / jnp.maximum(total_steps - warmup_steps,
+                                               1.0), 0.0)
         frac = jnp.where(step < warmup_steps, warm, decay)
         return base_lr * frac
 
@@ -82,7 +90,8 @@ def build_optimizer(params: Dict, cfg, *, total_steps: int,
     """
     if use_prefix_groups is None:
         use_prefix_groups = cfg.use_prefix
-    warmup_steps = int(cfg.warmup_ratio * total_steps)
+    # float on purpose — HF's lambda uses the fractional count as-is
+    warmup_steps = cfg.warmup_ratio * total_steps
     sched = linear_warmup_schedule(cfg.lr, warmup_steps, total_steps)
 
     mu_dtype = None

@@ -27,6 +27,25 @@ class TestSchedule:
         sched = linear_warmup_schedule(2.0, 0, 100)
         assert float(sched(0)) == pytest.approx(2.0)
 
+    def test_fractional_warmup_matches_hf_lambda(self):
+        """The reference hands HF a FLOAT warmup count (warmup_ratio *
+        train_num_steps, modules/train.py:464-466); HF's lambda compares and
+        divides with the float, so every warmup lr differs from the
+        truncated-int schedule whenever the product is fractional."""
+        transformers = pytest.importorskip("transformers")
+        from transformers.optimization import \
+            _get_linear_schedule_with_warmup_lr_lambda as hf_lambda
+        for total, ratio in ((7, 0.25), (12, 0.1), (5, 0.37), (9, 0.01)):
+            w = ratio * total
+            sched = linear_warmup_schedule(1.0, w, total)
+            for step in range(total + 2):
+                want = hf_lambda(step, num_warmup_steps=w,
+                                 num_training_steps=total)
+                np.testing.assert_allclose(float(sched(step)), want,
+                                           rtol=1e-6, atol=1e-7,
+                                           err_msg=f"total={total} "
+                                                   f"ratio={ratio} s={step}")
+
 
 class TestGroups:
     @pytest.fixture

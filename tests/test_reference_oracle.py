@@ -960,3 +960,115 @@ def test_probe_subsystem_parity_vs_reference(ref_probes):
         got = float(combine_loss(jnp.asarray(2.0), jnp.asarray(pl_val),
                                  0.5, epoch))
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_roberta_span_trajectory_parity_vs_reference_trainer(
+        ref, monkeypatch):
+    """RoBERTa 5-step trajectory: like the BERT span trajectory test, but
+    through the vendored RobertaModel fork — pins the padding_idx=1 gradient
+    semantics on BOTH embedding tables (modeling_roberta.py:78,97-99 — torch
+    zeroes d loss/d row[1]; bert_embeddings replicates with a pad-position
+    stop_gradient on word AND position lookups) plus the position-id offset
+    (create_position_ids_from_input_ids, :1706-1718) under training."""
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.core.convert import bert_params_from_torch
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.train.optim import build_optimizer
+    from mtvaf_tpu.train.steps import (create_train_state, make_span_loss_fn,
+                                       make_train_step)
+
+    L, h, heads, inter = 8, 32, 4, 64
+    bert_cfg = BertConfig.tiny(is_roberta=True, hidden_size=h,
+                               num_attention_heads=heads,
+                               intermediate_size=inter, num_hidden_layers=L)
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=h, num_hidden_layers=L,
+        num_attention_heads=heads, intermediate_size=inter,
+        max_position_embeddings=bert_cfg.max_position_embeddings,
+        type_vocab_size=1, pad_token_id=1)
+    monkeypatch.setattr(
+        ref.RobertaModel, "from_pretrained",
+        classmethod(lambda cls, name, *a, **k: cls(hf_cfg)))
+
+    def make_model():
+        torch.manual_seed(11)
+        return ref.TVNetSAModel(list(range(15)), tokenizer=None,
+                                args=_args(bert_name="roberta-base"))
+
+    model = make_model()
+    model.eval()                        # grads still flow; dropout off
+
+    n_steps = 5
+    lr, warmup_ratio = 1e-3, 0.4
+    opt_t = torch.optim.AdamW(model.parameters(), lr=lr)
+    sched_t = transformers.get_linear_schedule_with_warmup(
+        opt_t, num_warmup_steps=warmup_ratio * n_steps,
+        num_training_steps=n_steps)
+
+    def batch_k(k):
+        bt = _torch_span_batch(bert_cfg, seed=30 + k)
+        rs = np.random.RandomState(60 + k)
+        # ids in [2, V): rows 0/1 are <s>/<pad>; real pads use id 1 so the
+        # position-id offset AND the pad-row gradient cut both engage
+        bt["input_ids"] = rs.randint(2, bert_cfg.vocab_size,
+                                     bt["input_ids"].shape)
+        bt["input_ids"][bt["attn"] == 0] = 1
+        return bt
+
+    batches = [batch_k(k) for k in range(n_steps)]
+    ref_losses = []
+    for bt in batches:
+        opt_t.zero_grad()
+        out = model(
+            input_ids=torch.tensor(bt["input_ids"]),
+            attention_mask=torch.tensor(bt["attn"]),
+            token_type_ids=torch.tensor(bt["segs"]),
+            start_positions=torch.tensor(bt["starts"]),
+            end_positions=torch.tensor(bt["ends"]),
+            span_starts=torch.tensor(bt["span_starts"]),
+            span_ends=torch.tensor(bt["span_ends"]),
+            polarity_labels=torch.tensor(bt["span_labels"]),
+            label_masks=torch.tensor(bt["span_masks"]))
+        ref_losses.append(float(out.loss.detach()))
+        out.loss.backward()
+        opt_t.step()
+        sched_t.step()
+
+    cfg = Config(dataset_name="twitter15", bert_name="roberta-base",
+                 bf16=False, max_answer_length=4, lr=lr,
+                 warmup_ratio=warmup_ratio, optimizer_mu_bf16=False)
+    assert cfg.is_roberta
+    model0 = make_model()
+    params = {
+        "bert": bert_params_from_torch(model0.bert.state_dict(), L),
+        "dense": _dense(model0.dense),
+        "unary_affine": _dense(model0.unary_affine),
+        "binary_affine": _dense(model0.binary_affine),
+        "classifier": _dense(model0.classifier),
+    }
+    optimizer, _ = build_optimizer(params, cfg, total_steps=n_steps,
+                                   pipeline="span")
+    loss_fn = make_span_loss_fn(cfg, bert_cfg)
+    step = make_train_step(loss_fn, optimizer, donate=False)
+    state = create_train_state(params, optimizer)
+
+    got_losses = []
+    with jax.default_matmul_precision("highest"):
+        for bt in batches:
+            batch = {
+                "input_ids": jnp.asarray(bt["input_ids"], jnp.int32),
+                "input_mask": jnp.asarray(bt["attn"], jnp.int32),
+                "segment_ids": jnp.asarray(bt["segs"], jnp.int32),
+                "start_positions": jnp.asarray(bt["starts"], jnp.int32),
+                "end_positions": jnp.asarray(bt["ends"], jnp.int32),
+                "span_starts": jnp.asarray(bt["span_starts"], jnp.int32),
+                "span_ends": jnp.asarray(bt["span_ends"], jnp.int32),
+                "span_labels": jnp.asarray(bt["span_labels"], jnp.int32),
+                "span_masks": jnp.asarray(bt["span_masks"], jnp.int32),
+            }
+            state, metrics = step(state, batch, None)
+            got_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(got_losses[:2], ref_losses[:2], rtol=1e-5)
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=2e-3)
+    assert not np.allclose(ref_losses[0], ref_losses[1:])
