@@ -176,13 +176,18 @@ def import_reference_trainer():
     byte layout — pinned by tests/test_metrics.py.
     """
     import_reference_utils()
-    if "modules.train" in sys.modules:
-        return sys.modules["modules.train"]
-    if "seqeval" not in sys.modules:
-        from mtvaf_tpu.eval.tagging import classification_report
-        seqeval = _stub_module("seqeval")
-        sm = _stub_module("seqeval.metrics")
-        sm.classification_report = classification_report
-        seqeval.metrics = sm
-    import modules.train as rt
+    from mtvaf_tpu.eval.tagging import classification_report
+    if "modules.train" not in sys.modules:
+        if "seqeval" not in sys.modules:
+            seqeval = _stub_module("seqeval")
+            sm = _stub_module("seqeval.metrics")
+            sm.classification_report = classification_report
+            seqeval.metrics = sm
+        import modules.train  # noqa: F401  (registers in sys.modules)
+    rt = sys.modules["modules.train"]
+    # modules.train binds classification_report at import time; if another
+    # test imported it first under a throwaway seqeval stub, rebind ours so
+    # the trainer's string-sliced F1 parse (modules/train.py:669) sees the
+    # real layout regardless of import order.
+    rt.classification_report = classification_report
     return rt

@@ -781,15 +781,10 @@ def test_cal_cut_loss_parity_vs_reference(ref, ref_utils):
     (ref/ref_utils fixtures install the import stubs modules.train needs.)"""
     import types as _types
 
-    if "seqeval" not in sys.modules:
-        seqeval = _stub_module("seqeval")
-        sm = _stub_module("seqeval.metrics")
-        sm.classification_report = lambda *a, **k: ""
-        seqeval.metrics = sm
-    if "tensorboardX" not in sys.modules:
-        tbx = _stub_module("tensorboardX")
-        tbx.SummaryWriter = object
-    from modules.train import SATrainer
+    # import through the shared machinery: an ad-hoc seqeval stub here would
+    # poison the cached modules.train for the full-trainer e2e oracles
+    from reference_stubs import import_reference_trainer
+    SATrainer = import_reference_trainer().SATrainer
 
     from mtvaf_tpu.train.augment import js_div
 
