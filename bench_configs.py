@@ -126,11 +126,21 @@ def _time_span_eval(cfg, bert_cfg, n_examples=256):
             cfg, bc, params, dev_dataset=ds,
             attention_impl=select_attention_impl(cfg, False))
         trainer._predict(ds)          # warmup (compile both stages)
-        t0 = time.perf_counter()
-        results = trainer._predict(ds)
-        dt = time.perf_counter() - t0
-        assert len(results) == len(ds)
-        return len(ds) / dt
+        # best-of-3: tunnel RPC jitter is one-sided (it only ever slows a
+        # window), so the fastest window is the least-contaminated measure
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            results = trainer._predict(ds)
+            best = min(best, time.perf_counter() - t0)
+            assert len(results) == len(ds)
+        return len(ds) / best
+
+
+def _timed_ms(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return (time.perf_counter() - t0) * 1e3
 
 
 def _time_crf_serving(cfg, bert_cfg, n_batches: int = 12, batch: int = 16):
@@ -161,13 +171,16 @@ def _time_crf_serving(cfg, bert_cfg, n_batches: int = 12, batch: int = 16):
         stream = [" ".join(rng.choice(words, size=12))
                   for _ in range(n_batches * batch)]
         predictor.predict(stream[:batch])            # compile
-        lat0 = time.perf_counter()
-        predictor.predict(stream[:batch])            # synchronous latency
-        latency_ms = (time.perf_counter() - lat0) * 1e3
-        t0 = time.perf_counter()
-        results = predictor.predict_many(stream, batch_size=batch)
-        dt = time.perf_counter() - t0
-        assert len(results) == len(stream)
+        # best-of-3 on both rows: tunnel RPC jitter only ever slows a window
+        latency_ms = min(
+            _timed_ms(lambda: predictor.predict(stream[:batch]))
+            for _ in range(3))
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            results = predictor.predict_many(stream, batch_size=batch)
+            dt = min(dt, time.perf_counter() - t0)
+            assert len(results) == len(stream)
         print(json.dumps({"config": "c6_crf_serving_latency",
                           "desc": f"single predict() call, b{batch}",
                           "value": round(latency_ms, 2), "unit": "ms"}),
