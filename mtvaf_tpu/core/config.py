@@ -205,6 +205,14 @@ class Config:
                                         # The reference has no equivalent
                                         # (its dropout is always live in
                                         # train mode).
+    groups_mode: str = "all"            # optimizer param-group surface on
+                                        # prefix runs: 'reference' replicates
+                                        # multiModal_before_train exactly
+                                        # (projectors/ANP heads and pipeline-A
+                                        # task heads LEFT OUT of the optimizer,
+                                        # modules/train.py:468-493,894-926);
+                                        # 'all' trains them at base lr (the
+                                        # evident intent; PARITY deviation #3)
 
     def __post_init__(self):
         if self.dataset_name not in SPAN_DATASETS + CRF_DATASETS:
@@ -239,6 +247,10 @@ class Config:
             raise ValueError(
                 "deterministic training is incompatible with cutoff "
                 "augmentation (--do_aug draws random cut masks)")
+        if self.groups_mode not in ("all", "reference"):
+            raise ValueError(
+                f"groups_mode must be 'all' or 'reference', got "
+                f"{self.groups_mode!r}")
 
     # ---------------------------------------------------------------------
     @property

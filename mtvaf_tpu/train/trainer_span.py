@@ -65,7 +65,8 @@ class SpanTrainer:
         self.steps_per_epoch = steps_per_epoch
 
         self.optimizer, self.schedule = build_optimizer(
-            params, cfg, total_steps=total_steps, pipeline="span")
+            params, cfg, total_steps=total_steps, pipeline="span",
+            groups_mode=cfg.groups_mode)
         self.state = create_train_state(
             params, self.optimizer,
             params_dtype=jnp.bfloat16 if cfg.params_bf16 else None)
