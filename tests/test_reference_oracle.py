@@ -1067,3 +1067,120 @@ def test_roberta_span_trajectory_parity_vs_reference_trainer(
     np.testing.assert_allclose(got_losses[:2], ref_losses[:2], rtol=1e-5)
     np.testing.assert_allclose(got_losses, ref_losses, rtol=2e-3)
     assert not np.allclose(ref_losses[0], ref_losses[1:])
+
+
+# ---------------------------------------------------------------------------
+# Span pipeline WITH visual prefix (round-3 follow-up): the reference
+# TVNetSAModel's own forward with use_prefix — its get_visual_prompt
+# (models/bert_model.py:379-414, the plain-gates variant: no ANP heads, no
+# img_dropout, encoder_conv ALWAYS Linear(3840,..) even under use_18,
+# models/bert_model.py:224-228) feeding the prefix KVs through extraction +
+# classification — vs span_model_loss with visual_guides.  Closes the one
+# prefix pathway the oracles above did not pin (they cover prefix only on
+# the CRF model, whose get_visual_prompt variant adds the VAO machinery).
+
+
+def test_span_model_prefix_loss_parity_vs_reference(ref, monkeypatch):
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.core.convert import bert_params_from_torch
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.nn.models import span_model_loss
+
+    # the prefix machinery hardcodes BERT-base width: 12 projectors,
+    # reshape(bsz, 12, -1, 64) (models/bert_model.py:229,413)
+    bert_cfg = BertConfig.base()
+    hf_cfg = transformers.BertConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072)
+    _patch_from_pretrained(monkeypatch, ref, hf_cfg)
+
+    b, s, m = 2, 12, 4
+    rs = np.random.RandomState(3)
+    main_g = rs.randn(b, 4, 3840).astype(np.float32)
+    aux_g = rs.randn(b, 3, 4, 3840).astype(np.float32)
+
+    class StubImageModel(nn.Module):
+        channels = (256, 512, 1024, 2048)
+
+        def forward(self, images, aux_imgs=None):
+            def unpack(g):
+                x = torch.tensor(g).reshape(g.shape[0], -1).reshape(
+                    g.shape[0], 3840, 2, 2)
+                return list(torch.split(x, list(self.channels), dim=1))
+            return unpack(main_g), [unpack(aux_g[:, i]) for i in range(3)]
+
+    monkeypatch.setattr(ref, "ImageModel", lambda *a, **k: StubImageModel())
+
+    torch.manual_seed(2)
+    model = ref.TVNetSAModel(list(range(15)), tokenizer=None,
+                             args=_args(use_prefix=True, use_152=True))
+    model.eval()
+
+    input_ids = rs.randint(0, bert_cfg.vocab_size, (b, s))
+    attn = np.ones((b, s), np.int64)
+    attn[1, -3:] = 0
+    segs = np.zeros((b, s), np.int64)
+    starts = np.zeros((b, s), np.int64)
+    ends = np.zeros((b, s), np.int64)
+    for i in range(b):
+        for _ in range(2):
+            j = rs.randint(0, 8)
+            starts[i, j] = 1
+            ends[i, min(j + rs.randint(0, 3), s - 1)] = 1
+    span_starts = rs.randint(0, 6, (b, m))
+    span_ends = span_starts + rs.randint(0, 4, (b, m))
+    span_labels = rs.randint(0, 4, (b, m))
+    span_masks = (np.arange(m)[None] < np.array([[3], [2]])).astype(np.int64)
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.tensor(attn),
+            token_type_ids=torch.tensor(segs),
+            start_positions=torch.tensor(starts),
+            end_positions=torch.tensor(ends),
+            span_starts=torch.tensor(span_starts),
+            span_ends=torch.tensor(span_ends),
+            polarity_labels=torch.tensor(span_labels),
+            label_masks=torch.tensor(span_masks),
+            images=torch.zeros(b, 3, 224, 224),
+            aux_imgs=torch.zeros(b, 3, 3, 224, 224))
+    ref_loss = float(out.loss)
+
+    cfg = Config(dataset_name="twitter15", use_prefix=True, use_152=True,
+                 bf16=False, max_answer_length=4)
+    params = {
+        "bert": bert_params_from_torch(model.bert.state_dict(), 12),
+        "dense": _dense(model.dense),
+        "unary_affine": _dense(model.unary_affine),
+        "binary_affine": _dense(model.binary_affine),
+        "classifier": _dense(model.classifier),
+        "prefix": {
+            "conv_in": _dense(model.encoder_conv[0]),
+            "conv_out": _dense(model.encoder_conv[2]),
+            "projectors": {
+                "kernel": jnp.stack(
+                    [jnp.asarray(_t(p.weight).T) for p in model.projectors]),
+                "bias": jnp.stack(
+                    [jnp.asarray(_t(p.bias)) for p in model.projectors]),
+            },
+        },
+    }
+    batch = {
+        "input_ids": jnp.asarray(input_ids, jnp.int32),
+        "input_mask": jnp.asarray(attn, jnp.int32),
+        "segment_ids": jnp.asarray(segs, jnp.int32),
+        "start_positions": jnp.asarray(starts, jnp.int32),
+        "end_positions": jnp.asarray(ends, jnp.int32),
+        "span_starts": jnp.asarray(span_starts, jnp.int32),
+        "span_ends": jnp.asarray(span_ends, jnp.int32),
+        "span_labels": jnp.asarray(span_labels, jnp.int32),
+        "span_masks": jnp.asarray(span_masks, jnp.int32),
+    }
+    with jax.default_matmul_precision("highest"):
+        got = span_model_loss(params, cfg, bert_cfg, batch,
+                              visual_guides=(jnp.asarray(main_g),
+                                             jnp.asarray(aux_g)), rng=None)
+
+    np.testing.assert_allclose(float(got["loss"]), ref_loss, rtol=2e-5,
+                               atol=2e-4)
