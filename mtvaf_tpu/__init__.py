@@ -15,7 +15,7 @@ Layers (bottom-up, mirroring SURVEY.md §1):
   cli/      command-line entry mirroring MTVAF_training.py
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
