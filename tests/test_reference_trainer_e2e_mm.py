@@ -405,3 +405,278 @@ def test_mm_reference_grouping_froze_projectors(mm_e2e):
     np.testing.assert_array_equal(
         np.asarray(ref_model.projectors[0].weight.detach().numpy()).T,
         np.asarray(mm_e2e["params0"]["prefix"]["projectors"]["kernel"][0]))
+
+
+# ===========================================================================
+# Pipeline A MULTIMODAL: the reference's own SATrainer.train() with
+# use_prefix — get_visual_prompt computed TWICE per step (modules/train.py:341
+# via _step and models/bert_model.py:256 inside the second forward), the
+# extraction → host span harvest → full forward loop, and
+# multiModal_before_train's groups (which leave EVERY pipeline-A task head
+# out of the optimizer, modules/train.py:468-493) — run to completion vs
+# SpanTrainer --groups_mode reference.  Model A's encoder_conv is always
+# 3840-wide (models/bert_model.py:224-228), so the shared frozen backbone is
+# a converted ResNet-50 (the reference's no-variant-flag default).  Guides
+# are shared bit-identically through the production GuideCache's disk spill,
+# exactly as in the CRF fixture above.
+
+
+class _RefSpanMMLoader(_RefLoader):
+    """Our span batch stream as the reference's use_prefix 10-tuple
+    (modules/train.py:338-340), with the per-batch guide feed."""
+
+    KEYS = ("input_ids", "input_mask", "segment_ids", "example_index",
+            "start_positions", "end_positions", "bio_labels",
+            "polarity_positions")
+
+    def __iter__(self):
+        if self.shuffle:
+            self.epoch += 1
+        for b in iterate_batches(self.arrays, self.batch_size,
+                                 shuffle=self.shuffle, seed=self.seed,
+                                 epoch=self.epoch):
+            rows = b["example_index"]
+            self.stub.current = (
+                np.stack([self.guides[r][0] for r in rows]),
+                np.stack([self.guides[r][1] for r in rows]))
+            yield tuple(torch.tensor(b[k], dtype=torch.long)
+                        for k in self.KEYS) + (
+                torch.zeros(len(rows), 3, 224, 224),
+                torch.zeros(len(rows), 3, 3, 224, 224))
+
+
+class _StubImageModel50(_StubImageModel):
+    channels = (256, 512, 1024, 2048)
+
+    def forward(self, images, aux_imgs=None):
+        main_g, aux_g = self.current
+
+        def unpack(g):
+            x = torch.tensor(np.asarray(g)).reshape(
+                g.shape[0], -1).reshape(g.shape[0], 3840, 2, 2)
+            return list(torch.split(x, list(self.channels), dim=1))
+
+        return unpack(main_g), [unpack(aux_g[:, i]) for i in range(3)]
+
+
+def _ref_span_args(cfg, save_path):
+    import types
+    return types.SimpleNamespace(
+        prefix_dim=800, prefix_len=4, bert_name="bert-base-uncased",
+        use_prefix=True, use_152=False, use_101=False, use_34=False,
+        use_18=False, resnet_root="unused", gcn_layer_number=0, num_layers=0,
+        use_probe=False, n_gpu=1, device="cpu", vao=False, noauxloss=False,
+        alpha=0.25, beta=0.5, num_epochs=EPOCHS, eval_begin_epoch=1,
+        gradient_accumulation_steps=1, train_batch_size=BATCH,
+        eval_batch_size=BATCH, lr=LR, warmup_ratio=WARMUP, load_path=None,
+        use_pretrained=False, local_rank=-1, save_path=save_path,
+        do_aug=False, do_lower_case=cfg.do_lower_case,
+        verbose_logging=cfg.verbose_logging, filter_type=cfg.filter_type,
+        use_heuristics=cfg.use_heuristics, use_nms=cfg.use_nms,
+        logit_threshold=cfg.logit_threshold, n_best_size=cfg.n_best_size,
+        max_answer_length=cfg.max_answer_length)
+
+
+@pytest.fixture(scope="module")
+def span_mm_e2e(tmp_path_factory):
+    from test_resnet import Bottleneck
+
+    from mtvaf_tpu.data.datasets import SpanDataset
+    from mtvaf_tpu.data.synthetic import make_span_file
+    from mtvaf_tpu.train.ingest import GuideCache
+    from mtvaf_tpu.train.trainer_span import SpanTrainer
+
+    ref = import_reference_models()
+    rt = import_reference_trainer()
+    d = tmp_path_factory.mktemp("span_trainer_e2e_mm")
+
+    vocab = os.path.join(d, "vocab.txt")
+    make_vocab_file(vocab)
+    tok = FullTokenizer(vocab)
+
+    img_ids = [f"{810000 + i}.jpg" for i in range(4)]
+    img_dir = os.path.join(d, "imgs")
+    aux_dir = os.path.join(d, "aux")
+    make_images(img_dir, img_ids, size=96)
+    aux_names = [f"crop_{i}.jpg" for i in range(3)]
+    make_images(aux_dir, aux_names, size=96)
+    aux_map = {img_ids[0]: aux_names, img_ids[1]: aux_names[:2]}
+
+    cfg = Config(dataset_name="twitter15", max_seq=32, use_prefix=True,
+                 prefix_len=4, groups_mode="reference",
+                 train_batch_size=BATCH, eval_batch_size=BATCH,
+                 num_epochs=EPOCHS, eval_begin_epoch=1, lr=LR,
+                 warmup_ratio=WARMUP, bf16=False, deterministic=True,
+                 optimizer_mu_bf16=False, max_answer_length=4,
+                 cache_dir=os.path.join(d, "cache"),
+                 save_path=os.path.join(d, "ours"))
+    assert cfg.resnet_depth == 50    # the reference's no-variant default
+
+    datasets = {}
+    for split, (n, seed) in {"train": (N_TRAIN, 0), "dev": (N_EVAL, 1),
+                             "test": (N_EVAL, 2)}.items():
+        f = os.path.join(d, f"{split}.txt")
+        make_span_file(f, n, seed=seed, max_len=14, image_ids=img_ids)
+        datasets[split] = SpanDataset.load(cfg, tok, f, mode=split,
+                                           img_dir=img_dir, aux_dir=aux_dir,
+                                           aux_map=aux_map)
+
+    torch.manual_seed(13)
+    torch_resnet = TorchResNet(Bottleneck, list(BLOCK_COUNTS[50]))
+    randomize_bn(torch_resnet, seed=13)
+    torch_resnet.eval()
+    resnet_params = resnet_params_from_torch(torch_resnet.state_dict(),
+                                             BLOCK_COUNTS[50])
+
+    guide_dir = os.path.join(cfg.cache_dir, "guides")
+    store = datasets["train"].image_store
+    assert store is not None
+    with jax.default_matmul_precision("highest"):
+        seed_gc = GuideCache(resnet_params, 50, cache_dir=guide_dir)
+        mg, ag = seed_gc._host_batch(img_ids, store)
+    for key, val in seed_gc._cache.items():
+        p = seed_gc._disk_path(key)
+        if p and not os.path.exists(p):
+            np.savez(p, main=val[0], aux=val[1])
+    by_id = {i: (mg[k], ag[k]) for k, i in enumerate(img_ids)}
+
+    bert_cfg = BertConfig.base()
+    import dataclasses
+    bert_cfg = dataclasses.replace(bert_cfg, vocab_size=len(tok.vocab))
+    hf_cfg = transformers.BertConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=768,
+        num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        attn_implementation="eager")
+
+    stub = _StubImageModel50()
+    mp = pytest.MonkeyPatch()
+    mp.setattr(ref.BertModel, "from_pretrained",
+               classmethod(lambda cls, name, *a, **k: cls(hf_cfg)))
+    mp.setattr(ref, "ImageModel", lambda *a, **k: stub)
+    try:
+        torch.manual_seed(17)
+        args = _ref_span_args(cfg, os.path.join(d, "ref"))
+        model = ref.TVNetSAModel(list(range(4)), tokenizer=None, args=args)
+    finally:
+        mp.undo()
+    for m in model.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0
+
+    params = {
+        "bert": bert_params_from_torch(model.bert.state_dict(), 12),
+        "dense": _dense(model.dense),
+        "unary_affine": _dense(model.unary_affine),
+        "binary_affine": _dense(model.binary_affine),
+        "classifier": _dense(model.classifier),
+        "prefix": {
+            "conv_in": _dense(model.encoder_conv[0]),
+            "conv_out": _dense(model.encoder_conv[2]),
+            "projectors": {
+                "kernel": jnp.stack([_c(p.weight).T
+                                     for p in model.projectors]),
+                "bias": jnp.stack([_c(p.bias) for p in model.projectors]),
+            },
+        },
+    }
+
+    import logging
+    import types as _types
+    os.makedirs(args.save_path, exist_ok=True)
+    ref_writer = _Recorder()
+    mk = lambda ds: _types.SimpleNamespace(
+        examples=ds.examples, features=ds.features, img_path=None,
+        data_dict=None, tokenizer=None, max_seq=cfg.max_seq)
+
+    def loader(split, shuffle):
+        ds = datasets[split]
+        gm = {r: by_id[ds.image_ids[r]] for r in range(len(ds))}
+        return _RefSpanMMLoader(ds.arrays, BATCH, shuffle, cfg.seed, gm, stub)
+
+    ref_trainer = rt.SATrainer(
+        train_data=loader("train", True), dev_data=loader("dev", False),
+        test_data=loader("test", False), model=model, label_map=None,
+        args=args, logger=logging.getLogger("ref_span_e2e_mm"),
+        writer=ref_writer, train_dataset=mk(datasets["train"]),
+        dev_dataset=mk(datasets["dev"]), test_dataset=mk(datasets["test"]))
+    ref_trainer.train()
+    ref_test_f1 = ref_trainer.test()
+
+    params0 = jax.tree.map(np.asarray, params)
+    our_writer = _Recorder()
+    with jax.default_matmul_precision("highest"):
+        trainer = SpanTrainer(cfg, bert_cfg, params,
+                              train_dataset=datasets["train"],
+                              dev_dataset=datasets["dev"],
+                              test_dataset=datasets["test"],
+                              resnet_params=resnet_params, writer=our_writer)
+        assert trainer.guide_cache is not None
+        trainer.train()
+        final_test_f1 = trainer.test(load_best_model=True)
+
+    return {"ref": ref_trainer, "ref_writer": ref_writer, "ours": trainer,
+            "our_writer": our_writer, "ref_test_f1": ref_test_f1,
+            "final_test_f1": final_test_f1, "ref_dir": args.save_path,
+            "our_dir": cfg.save_path, "params0": params0}
+
+
+def test_span_mm_train_f1_trajectory(span_mm_e2e):
+    ref_f1 = span_mm_e2e["ref_writer"].scalars["train_f1"]
+    our_f1 = span_mm_e2e["our_writer"].scalars["train_f1"]
+    assert len(ref_f1) == len(our_f1) == EPOCHS
+    assert _round4(ref_f1) == _round4(our_f1)
+
+
+def test_span_mm_train_loss_trajectory(span_mm_e2e):
+    ref_losses = span_mm_e2e["ref_writer"].scalars["train_loss"]
+    per_epoch = N_TRAIN // BATCH // 2
+    ref_epoch = [float(np.mean(ref_losses[i * per_epoch:(i + 1) * per_epoch]))
+                 for i in range(EPOCHS)]
+    our_epoch = span_mm_e2e["our_writer"].scalars["train_loss"]
+    np.testing.assert_allclose(our_epoch, ref_epoch, rtol=2e-4)
+
+
+def test_span_mm_dev_trajectory_and_best_selection(span_mm_e2e):
+    ref_dev = span_mm_e2e["ref_writer"].scalars["dev_f1"]
+    our_dev = span_mm_e2e["our_writer"].scalars["dev_f1"]
+    assert len(ref_dev) == len(our_dev) == EPOCHS
+    assert _round4(ref_dev) == _round4(our_dev)
+    assert (span_mm_e2e["ours"].best_dev_epoch
+            == span_mm_e2e["ref"].best_dev_epoch)
+    assert round(span_mm_e2e["ours"].best_dev_metric, 4) == round(
+        span_mm_e2e["ref"].best_dev_metric, 4)
+
+
+def test_span_mm_test_with_best_reload(span_mm_e2e):
+    assert round(float(span_mm_e2e["ref_test_f1"]), 4) == round(
+        span_mm_e2e["final_test_f1"], 4)
+
+
+def test_span_mm_prediction_artifacts(span_mm_e2e):
+    for name in ("train_predictions.json", "dev_predictions.json",
+                 "test_predictions.json"):
+        with open(os.path.join(span_mm_e2e["ref_dir"], name)) as f:
+            ref_pred = json.load(f)
+        with open(os.path.join(span_mm_e2e["our_dir"], name)) as f:
+            our_pred = json.load(f)
+        assert our_pred == ref_pred, name
+
+
+def test_span_mm_reference_grouping_froze_heads(span_mm_e2e):
+    """multiModal_before_train leaves every pipeline-A task head AND the
+    projectors out of the optimizer (its groups only match bert /
+    encoder_conv / gates / crf / fc — modules/train.py:468-493): both sides
+    must end training with those weights bit-unchanged."""
+    ours = span_mm_e2e["ours"].state.params
+    p0 = span_mm_e2e["params0"]
+    for key in ("dense", "unary_affine", "binary_affine", "classifier"):
+        np.testing.assert_array_equal(np.asarray(ours[key]["kernel"]),
+                                      np.asarray(p0[key]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(ours["prefix"]["projectors"]["kernel"]),
+        np.asarray(p0["prefix"]["projectors"]["kernel"]))
+    ref_model = span_mm_e2e["ref"].model
+    np.testing.assert_array_equal(
+        np.asarray(ref_model.dense.weight.detach().numpy()).T,
+        np.asarray(p0["dense"]["kernel"]))
