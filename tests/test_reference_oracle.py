@@ -1184,3 +1184,131 @@ def test_span_model_prefix_loss_parity_vs_reference(ref, monkeypatch):
 
     np.testing.assert_allclose(float(got["loss"]), ref_loss, rtol=2e-5,
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Cutoff augmentation END-TO-END (C14, round-3 follow-up): the reference's
+# own Cutoff._training_step_with_cutoff re-encode (modules/augument.py:54-91
+# — get_embedding_output → generate_span_cutoff_embedding → get_bert_output)
+# run inside TVNetSAModel's augument=True forward, combined by the reference
+# SATrainer's cal_cut_loss, vs span_model_loss with our cutoff seam + js_div.
+# The random cut draws are shared by patching both RNGs to the same fixed
+# uniforms, so the comparison pins the TRANSFORMATION + re-encode + CE/JS
+# combination, not the noise source.  Text-only: with use_prefix the
+# reference draws cut windows over the prefix-extended mask but applies them
+# to text-length embeddings (it would crash whenever the window lands past
+# the text) — documented deviation #6 in PARITY.md.
+
+
+def test_cutoff_augmented_loss_parity_vs_reference(ref, ref_utils,
+                                                   monkeypatch):
+    from reference_stubs import import_reference_trainer
+
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.core.convert import bert_params_from_torch
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.nn.models import span_model_loss
+    from mtvaf_tpu.train import augment
+
+    SATrainer = import_reference_trainer().SATrainer
+
+    L, h, heads, inter = 8, 32, 4, 64
+    bert_cfg = BertConfig.tiny(hidden_size=h, num_attention_heads=heads,
+                               intermediate_size=inter, num_hidden_layers=L)
+    hf_cfg = transformers.BertConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=h, num_hidden_layers=L,
+        num_attention_heads=heads, intermediate_size=inter,
+        max_position_embeddings=bert_cfg.max_position_embeddings,
+        type_vocab_size=bert_cfg.type_vocab_size)
+    _patch_from_pretrained(monkeypatch, ref, hf_cfg)
+
+    ratio, ce_w, js_w = 0.25, 0.7, 1.3
+    torch.manual_seed(4)
+    args = _args(aug_type="span_cutoff", aug_cutoff_ratio=ratio,
+                 aug_ce_loss=ce_w, aug_js_loss=js_w, fp16=False,
+                 gradient_accumulation_steps=1)
+    model = ref.TVNetSAModel(list(range(15)), tokenizer=None, args=args)
+    model.eval()
+
+    b, s, m = 2, 16, 4
+    rs = np.random.RandomState(5)
+    input_ids = rs.randint(0, bert_cfg.vocab_size, (b, s))
+    attn = np.ones((b, s), np.int64)
+    attn[1, -4:] = 0
+    segs = np.zeros((b, s), np.int64)
+    starts = np.zeros((b, s), np.int64)
+    ends = np.zeros((b, s), np.int64)
+    for i in range(b):
+        j = rs.randint(0, 8)
+        starts[i, j] = 1
+        ends[i, min(j + 2, s - 1)] = 1
+    span_starts = rs.randint(0, 6, (b, m))
+    span_ends = span_starts + rs.randint(0, 4, (b, m))
+    span_labels = rs.randint(0, 4, (b, m))
+    span_masks = (np.arange(m)[None] < np.array([[3], [2]])).astype(np.int64)
+
+    # fixed cut draws, away from int-truncation boundaries
+    u_fixed = [0.37, 0.61]
+    draws = list(u_fixed)
+    monkeypatch.setattr(torch, "rand",
+                        lambda *a, **k: torch.tensor([draws.pop(0)]))
+
+    kwargs = dict(
+        input_ids=torch.tensor(input_ids),
+        attention_mask=torch.tensor(attn),
+        token_type_ids=torch.tensor(segs),
+        start_positions=torch.tensor(starts),
+        end_positions=torch.tensor(ends),
+        span_starts=torch.tensor(span_starts),
+        span_ends=torch.tensor(span_ends),
+        polarity_labels=torch.tensor(span_labels),
+        label_masks=torch.tensor(span_masks))
+    with torch.no_grad():
+        base_out = model(**kwargs)
+        aug_out = model(augument=True, **kwargs)
+    assert not draws, "reference consumed both fixed cut draws"
+
+    import types as _types
+    stub = _types.SimpleNamespace(args=args)
+    stub.js_div = lambda p, q: SATrainer.js_div(stub, p, q)
+    ref_total = float(SATrainer.cal_cut_loss(
+        stub, base_out.loss, base_out.logits, aug_out.loss, aug_out.logits))
+
+    # ---- ours: same weights, same fixed uniforms through our cutoff seam
+    cfg = Config(dataset_name="twitter15", bf16=False, max_answer_length=4,
+                 do_aug=True, aug_type="span_cutoff", aug_cutoff_ratio=ratio,
+                 aug_ce_loss=ce_w, aug_js_loss=js_w)
+    params = {
+        "bert": bert_params_from_torch(model.bert.state_dict(), L),
+        "dense": _dense(model.dense),
+        "unary_affine": _dense(model.unary_affine),
+        "binary_affine": _dense(model.binary_affine),
+        "classifier": _dense(model.classifier),
+    }
+    batch = {
+        "input_ids": jnp.asarray(input_ids, jnp.int32),
+        "input_mask": jnp.asarray(attn, jnp.int32),
+        "segment_ids": jnp.asarray(segs, jnp.int32),
+        "start_positions": jnp.asarray(starts, jnp.int32),
+        "end_positions": jnp.asarray(ends, jnp.int32),
+        "span_starts": jnp.asarray(span_starts, jnp.int32),
+        "span_ends": jnp.asarray(span_ends, jnp.int32),
+        "span_labels": jnp.asarray(span_labels, jnp.int32),
+        "span_masks": jnp.asarray(span_masks, jnp.int32),
+    }
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda rng, shape, *a, **k: jnp.asarray(u_fixed, jnp.float32))
+    cutoff_fn = augment.make_cutoff_fn(cfg.aug_type, cfg.aug_cutoff_ratio)
+    with jax.default_matmul_precision("highest"):
+        base = span_model_loss(params, cfg, bert_cfg, batch, rng=None)
+        cut = span_model_loss(params, cfg, bert_cfg, batch, rng=None,
+                              cutoff=(cutoff_fn, jax.random.PRNGKey(0)))
+        p = jax.nn.softmax(base["ac_logits"] + 1e-10, axis=1)
+        q = jax.nn.softmax(cut["ac_logits"] + 1e-10, axis=1)
+        got = (float(base["loss"]) + ce_w * float(cut["loss"])
+               + js_w * float(augment.js_div(p, q)))
+
+    np.testing.assert_allclose(got, ref_total, rtol=2e-5, atol=2e-5)
+    # the cut must actually change the loss for the comparison to bind
+    assert abs(float(cut["loss"]) - float(base["loss"])) > 1e-4
