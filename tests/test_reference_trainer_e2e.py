@@ -484,3 +484,160 @@ def test_span_prediction_artifacts(span_e2e):
         with open(os.path.join(span_e2e["our_dir"], name)) as f:
             our_pred = json.load(f)
         assert our_pred == ref_pred, name
+
+
+# ===========================================================================
+# RoBERTa backbone full-loop oracle: the reference's SATrainer2.train() with
+# its forked RobertaModel (models/modeling_roberta.py — position ids from
+# create_position_ids_from_input_ids with padding_idx=1 :1706-1718,
+# type_vocab_size=1) run to completion vs CrfTrainer with an is_roberta
+# config and byte-level BPE data.  The RoBERTa pathway previously had
+# forward + 5-step oracles only (test_reference_oracle.py); this pins the
+# complete trainer loop for config 4 of BASELINE.json.
+
+
+@pytest.fixture(scope="module")
+def roberta_e2e(tmp_path_factory):
+    from mtvaf_tpu.data.synthetic import make_roberta_vocab
+    from mtvaf_tpu.data.tokenization import build_tokenizer
+
+    ref = import_reference_models()
+    rt = import_reference_trainer()
+    d = tmp_path_factory.mktemp("trainer_e2e_roberta")
+
+    rdir = os.path.join(d, "roberta-base")
+    make_roberta_vocab(rdir)
+    tok = build_tokenizer(rdir)
+
+    files = {}
+    for split, (n, seed) in {"train": (N_TRAIN, 0), "dev": (N_EVAL, 1),
+                             "test": (N_EVAL, 2)}.items():
+        tsv = os.path.join(d, f"{split}.txt")
+        anp = os.path.join(d, f"{split}_anp.json")
+        make_crf_files(tsv, anp, n, seed=seed, num_anp=8)
+        files[split] = (tsv, anp)
+
+    cfg = Config(dataset_name="twitter2015", bert_name=rdir, max_seq=32,
+                 train_batch_size=BATCH, eval_batch_size=BATCH,
+                 num_epochs=EPOCHS, eval_begin_epoch=1, lr=LR,
+                 warmup_ratio=WARMUP, bf16=False, deterministic=True,
+                 num_anp_classes=8, optimizer_mu_bf16=False,
+                 save_path=os.path.join(d, "ours"))
+    assert cfg.is_roberta
+    datasets = {s: CrfDataset.load(cfg, tok, tsv, anp)
+                for s, (tsv, anp) in files.items()}
+
+    # >=7 layers: the reference forward indexes hidden_states[7]
+    bert_cfg = BertConfig.tiny(is_roberta=True, vocab_size=len(tok.vocab),
+                               num_hidden_layers=7)
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=bert_cfg.vocab_size, hidden_size=bert_cfg.hidden_size,
+        num_hidden_layers=bert_cfg.num_hidden_layers,
+        num_attention_heads=bert_cfg.num_attention_heads,
+        intermediate_size=bert_cfg.intermediate_size,
+        max_position_embeddings=bert_cfg.max_position_embeddings,
+        type_vocab_size=1, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        attn_implementation="eager")
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(ref.RobertaModel, "from_pretrained",
+               classmethod(lambda cls, name, *a, **k: cls(hf_cfg)))
+    try:
+        torch.manual_seed(21)
+        args = _ref_args(os.path.join(d, "ref"))
+        args.bert_name = "roberta-base"   # reference dispatch: "roberta" in name
+        model = ref.TVNetSAModel2(list(CRF_LABEL_LIST), tokenizer=None,
+                                  args=args)
+    finally:
+        mp.undo()
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+
+    def _c(t):
+        return jnp.asarray(np.array(t.detach().numpy(), copy=True))
+
+    params = {
+        "bert": bert_params_from_torch(model.bert.state_dict(),
+                                       bert_cfg.num_hidden_layers),
+        "fc": {"kernel": _c(model.fc.weight).T, "bias": _c(model.fc.bias)},
+        "crf": {
+            "start": _c(model.crf.start_transitions),
+            "end": _c(model.crf.end_transitions),
+            "transitions": _c(model.crf.transitions),
+        },
+    }
+
+    import types as _types
+    label_map = {label: i for i, label in enumerate(CRF_LABEL_LIST, 1)}
+    ref_writer = _Recorder()
+    import logging
+    ref_trainer = rt.SATrainer2(
+        train_data=_RefLoader(datasets["train"].arrays, BATCH, True, cfg.seed),
+        dev_data=_RefLoader(datasets["dev"].arrays, BATCH, False, cfg.seed),
+        test_data=_RefLoader(datasets["test"].arrays, BATCH, False, cfg.seed),
+        model=model, label_map=label_map, args=args,
+        logger=logging.getLogger("ref_roberta_e2e"), writer=ref_writer,
+        dev_dataset=_types.SimpleNamespace(
+            examples=datasets["dev"].examples,
+            features=datasets["dev"].features),
+        test_dataset=_types.SimpleNamespace(
+            examples=datasets["test"].examples,
+            features=datasets["test"].features))
+    ref_trainer.train()
+
+    our_writer = _Recorder()
+    with jax.default_matmul_precision("highest"):
+        trainer = CrfTrainer(cfg, bert_cfg, params,
+                             train_dataset=datasets["train"],
+                             dev_dataset=datasets["dev"],
+                             test_dataset=datasets["test"],
+                             writer=our_writer)
+        trainer.train()
+        final_test_f1 = trainer.test(EPOCHS, load_best_model=True)
+
+    return {"ref": ref_trainer, "ref_writer": ref_writer, "ours": trainer,
+            "our_writer": our_writer, "final_test_f1": final_test_f1,
+            "ref_dir": args.save_path, "our_dir": cfg.save_path}
+
+
+def test_roberta_train_trajectories(roberta_e2e):
+    ref_f1 = roberta_e2e["ref_writer"].scalars["train_f1"]
+    our_f1 = roberta_e2e["our_writer"].scalars["train_f1"]
+    assert len(ref_f1) == len(our_f1) == EPOCHS
+    assert _round4(ref_f1) == _round4(our_f1)
+    ref_losses = roberta_e2e["ref_writer"].scalars["train_loss"]
+    per_epoch = N_TRAIN // BATCH // 2
+    ref_epoch = [float(np.mean(ref_losses[i * per_epoch:(i + 1) * per_epoch]))
+                 for i in range(EPOCHS)]
+    np.testing.assert_allclose(roberta_e2e["our_writer"].scalars["train_loss"],
+                               ref_epoch, rtol=2e-4)
+    assert ref_epoch[-1] < ref_epoch[0]
+
+
+def test_roberta_eval_trajectories_and_best(roberta_e2e):
+    for tag in ("dev_f1", "test_f1"):
+        ref_v = roberta_e2e["ref_writer"].scalars[tag]
+        our_v = roberta_e2e["our_writer"].scalars[tag]
+        if tag == "test_f1":   # reference's final-epoch test reloads best
+            assert _round4(ref_v[:-1]) == _round4(our_v[:EPOCHS - 1])
+            assert round(float(ref_v[-1]), 4) == round(
+                roberta_e2e["final_test_f1"], 4)
+        else:
+            assert _round4(ref_v) == _round4(our_v)
+    np.testing.assert_allclose(roberta_e2e["our_writer"].scalars["dev_loss"],
+                               roberta_e2e["ref_writer"].scalars["dev_loss"],
+                               rtol=2e-4)
+    assert (roberta_e2e["ours"].best_dev_epoch
+            == roberta_e2e["ref"].best_dev_epoch)
+
+
+def test_roberta_dev_predictions_artifact(roberta_e2e):
+    with open(os.path.join(roberta_e2e["ref_dir"],
+                           "dev_predictions.json")) as f:
+        ref_pred = json.load(f)
+    with open(os.path.join(roberta_e2e["our_dir"],
+                           "dev_predictions.json")) as f:
+        our_pred = json.load(f)
+    assert our_pred == ref_pred
