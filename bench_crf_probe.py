@@ -1,0 +1,215 @@
+"""A/B the round-3 latency surgery on the small sequential ops (TPU).
+
+Three production changes, each timed against the variant it replaced
+(old variants inlined here so the A/B needs no git archaeology):
+
+* CRF log Z: associative_scan prefix products (old) vs binary reduction
+  tree (new — log Z only needs the FINAL product; the tree does half the
+  combines and its backward stashes half the intermediates).
+* Viterbi decode: sequential scan (old, unroll=1) vs unroll=8 scan (new
+  default, bit-identical) vs the O(log S)-depth max-plus parallel decode
+  (opt-in ``--crf_decode_impl parallel``).
+* Probe pseudo-labels: S-step sequential scan (old) vs the closed-form
+  cummin (new) — fwd only (labels are stop_gradient), timed inside a
+  probe_loss-shaped fwd+bwd.
+
+Each timing pipelines N dispatches and fetches once (docs/DESIGN.md §8b).
+Prints one JSON object of ms-per-call entries plus the full flagship
+step before/after context.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+B, S = 32, 128
+N_DISPATCH = 50
+REPEATS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtvaf_tpu.core.platform import configure_tpu_defaults
+    configure_tpu_defaults()
+
+    from mtvaf_tpu.nn import crf as crf_mod
+    from mtvaf_tpu.nn.crf import (NEG_INF, _step_matrices, crf_decode,
+                                  crf_decode_parallel, crf_log_likelihood,
+                                  init_crf_params)
+    from mtvaf_tpu.nn.probe import construct_pseudo_labels, probe_depths
+
+    out = {}
+
+    def timed(name, fn, *args):
+        r = fn(*args)                     # compile
+        np.asarray(jax.tree.leaves(r)[0])
+
+        def loop():
+            r = None
+            for _ in range(N_DISPATCH):
+                r = fn(*args)
+            np.asarray(jax.tree.leaves(r)[0])
+
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            loop()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best / N_DISPATCH * 1e3, 3)
+
+    rs = np.random.RandomState(0)
+    NT = 13                              # twitter BIO tag count
+    params = init_crf_params(jax.random.PRNGKey(0), NT)
+    em = jnp.asarray(rs.randn(B, S, NT), jnp.float32)
+    tags = jnp.asarray(rs.randint(0, NT, (B, S)), jnp.int32)
+    lens = rs.randint(S // 2, S + 1, B)
+    mask = jnp.asarray((np.arange(S)[None, :] < lens[:, None]).astype(np.int32))
+
+    # --- old log Z: associative_scan prefix products --------------------
+    def logz_assoc(params, emissions, mask):
+        emissions = emissions.astype(jnp.float32)
+        maskf = mask.astype(jnp.float32)
+        alpha0 = params["start"][None, :] + emissions[:, 0]
+        mats = _step_matrices(params, emissions, maskf)
+
+        def combine(a, b_):
+            return jax.nn.logsumexp(a[..., :, :, None] + b_[..., None, :, :],
+                                    axis=-2)
+
+        prefix = jax.lax.associative_scan(combine, mats, axis=1)
+        alpha = jax.nn.logsumexp(alpha0[:, :, None] + prefix[:, -1], axis=1)
+        return jax.nn.logsumexp(alpha + params["end"][None, :], axis=1)
+
+    def llh_old(cp, e):
+        from mtvaf_tpu.nn.crf import crf_sequence_score
+        return -(crf_sequence_score(cp, e, tags, mask) -
+                 logz_assoc(cp, e, mask)).mean()
+
+    def llh_new(cp, e):
+        return -crf_log_likelihood(cp, e, tags, mask)
+
+    timed("crf_llh_bwd_assoc_scan",
+          jax.jit(jax.value_and_grad(llh_old, argnums=(0, 1))), params, em)
+    timed("crf_llh_bwd_tree",
+          jax.jit(jax.value_and_grad(llh_new, argnums=(0, 1))), params, em)
+
+    # --- decode variants -------------------------------------------------
+    def decode_unroll1(params, emissions, mask):
+        emissions = emissions.astype(jnp.float32)
+        Bq, Sq, Nq = emissions.shape
+        e_t = jnp.swapaxes(emissions, 0, 1)
+        mask_t = jnp.swapaxes(mask, 0, 1).astype(jnp.float32)
+        score0 = params["start"][None, :] + e_t[0]
+
+        def fwd(score, xs):
+            e_i, m_i = xs
+            cand = score[:, :, None] + params["transitions"][None]
+            best_prev = jnp.argmax(cand, axis=1)
+            new_score = jnp.max(cand, axis=1) + e_i
+            score = jnp.where(m_i[:, None] > 0, new_score, score)
+            ident = jnp.broadcast_to(jnp.arange(Nq)[None, :], (Bq, Nq))
+            bp = jnp.where(m_i[:, None] > 0, best_prev, ident)
+            return score, bp
+
+        final_score, bps = jax.lax.scan(fwd, score0, (e_t[1:], mask_t[1:]))
+        final_score = final_score + params["end"][None, :]
+        last_tag = jnp.argmax(final_score, axis=1).astype(jnp.int32)
+
+        def bwd(tag, bp):
+            prev = jnp.take_along_axis(bp, tag[:, None], axis=1)[:, 0]
+            return prev.astype(jnp.int32), tag
+
+        first_tag, tags_rev = jax.lax.scan(bwd, last_tag, bps, reverse=True)
+        return jnp.swapaxes(jnp.concatenate([first_tag[None], tags_rev],
+                                            axis=0), 0, 1)
+
+    timed("decode_scan_unroll1", jax.jit(decode_unroll1), params, em, mask)
+    timed("decode_scan_unroll8", jax.jit(crf_decode), params, em, mask)
+    timed("decode_parallel", jax.jit(crf_decode_parallel), params, em, mask)
+
+    # --- probe pseudo-labels ---------------------------------------------
+    hidden = jnp.asarray(rs.randn(B, S, 768), jnp.float32)
+    pp = {"proj": jnp.asarray(rs.randn(768, 384) * 0.05, jnp.float32)}
+
+    def labels_scan(norms):
+        norms = norms.astype(jnp.float32)
+        b, s = norms.shape
+        order = jnp.argsort(norms, axis=1)
+        sorted_norms = jnp.take_along_axis(norms, order, axis=1)
+
+        def body(prev_label, n_j):
+            inc = jnp.abs(n_j - prev_label) >= jnp.abs(prev_label + 1.0 - n_j)
+            label = jnp.where(inc, prev_label + 1.0, prev_label)
+            return label, label
+
+        init = jnp.full((b,), 2.0, jnp.float32)
+        _, rest = jax.lax.scan(body, init,
+                               jnp.swapaxes(sorted_norms, 0, 1)[2:])
+        sorted_labels = jnp.concatenate(
+            [jnp.ones((b, 1), jnp.float32),
+             jnp.full((b, 1), 2.0, jnp.float32),
+             jnp.swapaxes(rest, 0, 1)], axis=1)
+        inv = jnp.argsort(order, axis=1)
+        return jnp.take_along_axis(sorted_labels, inv, axis=1)
+
+    def probe_loss_with(labels_fn, pp, hidden):
+        norms = probe_depths(pp, hidden)
+        labels = jax.lax.stop_gradient(labels_fn(norms))
+        return jnp.mean(jnp.square(norms - labels))
+
+    timed("probe_loss_bwd_scan",
+          jax.jit(jax.value_and_grad(
+              functools.partial(probe_loss_with, labels_scan))), pp, hidden)
+    timed("probe_loss_bwd_cummin",
+          jax.jit(jax.value_and_grad(
+              functools.partial(probe_loss_with, construct_pseudo_labels))),
+          pp, hidden)
+
+    # --- in-context: the FUSED production step ---------------------------
+    # Standalone timings above bottom out at the host dispatch floor
+    # (~0.7 ms); the honest A/B for sub-ms ops is their effect inside the
+    # single-dispatch fused train step.
+    from __graft_entry__ import _batch, _flagship
+    from mtvaf_tpu.kernels.prefix_attention import select_attention_impl
+    from mtvaf_tpu.nn import probe as probe_mod
+    from mtvaf_tpu.train.optim import build_optimizer
+    from mtvaf_tpu.train.steps import (create_train_state, make_crf_loss_fn,
+                                       make_train_step)
+
+    cfg, bert_cfg, fparams = _flagship()
+    attn = select_attention_impl(cfg, True)
+    optimizer, _ = build_optimizer(fparams, cfg, total_steps=1000,
+                                   pipeline="crf")
+    batch = _batch(cfg, bert_cfg, b=B, s=S)
+    rng = jax.random.PRNGKey(0)
+
+    def fused(name, cfg_override=None, label_fn=None):
+        c = cfg if cfg_override is None else cfg_override
+        orig = probe_mod.construct_pseudo_labels
+        if label_fn is not None:
+            probe_mod.construct_pseudo_labels = label_fn
+        try:
+            loss_fn = make_crf_loss_fn(c, bert_cfg, attention_impl=attn,
+                                       with_decode=True)
+            step = make_train_step(loss_fn, optimizer, donate=False)
+            state = create_train_state(fparams, optimizer)
+            timed(name, lambda: step(state, batch, rng))
+        finally:
+            probe_mod.construct_pseudo_labels = orig
+
+    import dataclasses
+    fused("fused_step_default")
+    fused("fused_step_decode_parallel",
+          cfg_override=dataclasses.replace(cfg, crf_decode_impl="parallel"))
+    fused("fused_step_probe_scan_labels", label_fn=labels_scan)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

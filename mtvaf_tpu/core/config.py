@@ -214,7 +214,26 @@ class Config:
                                         # 'all' trains them at base lr (the
                                         # evident intent; PARITY deviation #3)
 
+    crf_decode_impl: str = "scan"       # Viterbi implementation: 'scan'
+                                        # (sequential, bit-matches torchcrf
+                                        # tie-breaking) or 'parallel'
+                                        # (O(log S)-depth max-plus prefix
+                                        # products + pointer-doubling
+                                        # backtrace; fp-reordered adds may
+                                        # break exact ties differently).
+                                        # Measured at (B32, S128, N13) the
+                                        # parallel variant LOSES (+1.7 ms
+                                        # fused step: the (S,N,N) prefix
+                                        # products do ~N/2 x the work of the
+                                        # sequential maxes) — it is kept as
+                                        # the escape hatch for long-S /
+                                        # wide-N tag sets (bench_crf_probe.py)
+
     def __post_init__(self):
+        if self.crf_decode_impl not in ("scan", "parallel"):
+            raise ValueError(
+                f"crf_decode_impl must be 'scan' or 'parallel', got "
+                f"{self.crf_decode_impl!r}")
         if self.dataset_name not in SPAN_DATASETS + CRF_DATASETS:
             raise ValueError(f"unknown dataset_name: {self.dataset_name!r}")
         if self.gradient_accumulation_steps < 1:

@@ -61,14 +61,52 @@ def crf_sequence_score(params, emissions, tags, mask):
             + params["end"][last_tags])
 
 
+def _step_matrices(params, emissions, maskf):
+    """Log-semiring step matrices M_i[prev, next] = trans[prev, next] +
+    e_i[next] for real steps; identity (0 diag / -inf off) for masked steps.
+    emissions (B, S, N) fp32 → (B, S-1, N, N)."""
+    n = emissions.shape[-1]
+    mats = params["transitions"][None, None] + \
+        emissions[:, 1:, None, :]                             # (B, S-1, N, N)
+    ident = jnp.where(jnp.eye(n, dtype=bool), 0.0, NEG_INF)
+    return jnp.where(maskf[:, 1:, None, None] > 0, mats, ident[None, None])
+
+
+def _tree_reduce_semiring(mats, combine):
+    """Reduce (B, T, N, N) step matrices to their ordered product (B, N, N)
+    with a binary tree: log2(T) levels, T-1 combines total.
+
+    TPU-first: ``associative_scan`` computes every *prefix* (~2(T-1)
+    combines up- and down-sweep plus prefix stores); log Z only needs the
+    final product, so a plain reduction tree halves the work and the
+    backward's memory traffic.  Odd level sizes carry the trailing matrix
+    through unpaired (no identity padding needed).
+    """
+    while mats.shape[1] > 1:
+        t = mats.shape[1]
+        even = mats[:, 0:t - (t % 2):2]
+        odd = mats[:, 1::2]
+        reduced = combine(even, odd)
+        if t % 2:
+            reduced = jnp.concatenate([reduced, mats[:, -1:]], axis=1)
+        mats = reduced
+    return mats[:, 0]
+
+
+def _logsumexp_combine(a, b_):
+    # log-semiring matmul: (B, T, N, N) ⊗ (B, T, N, N)
+    return jax.nn.logsumexp(a[..., :, :, None] + b_[..., None, :, :],
+                            axis=-2)
+
+
 def crf_log_normalizer(params, emissions, mask):
     """log Z via the forward algorithm.
 
     TPU-first: instead of a sequential S-step scan (latency-bound at tiny N),
-    the recursion is a log-semiring matrix product evaluated with
-    ``lax.associative_scan`` — log2(S) levels of batched (B, N, N)
-    logsumexp-matmuls.  Masked steps contribute the semiring identity so the
-    result matches the masked sequential recursion exactly.
+    the recursion is a log-semiring matrix product evaluated as a binary
+    reduction tree — log2(S) levels of batched (B, N, N) logsumexp-matmuls.
+    Masked steps contribute the semiring identity so the result matches the
+    masked sequential recursion exactly.
     """
     emissions = emissions.astype(jnp.float32)
     b, s, n = emissions.shape
@@ -78,20 +116,8 @@ def crf_log_normalizer(params, emissions, mask):
     if s == 1:
         return jax.nn.logsumexp(alpha0 + params["end"][None, :], axis=1)
 
-    # Step matrices M_i[prev, next] = trans[prev, next] + e_i[next] for real
-    # steps; identity (0 diag / -inf off) for masked steps.
-    mats = params["transitions"][None, None] + \
-        emissions[:, 1:, None, :]                             # (B, S-1, N, N)
-    ident = jnp.where(jnp.eye(n, dtype=bool), 0.0, NEG_INF)
-    mats = jnp.where(maskf[:, 1:, None, None] > 0, mats, ident[None, None])
-
-    def combine(a, b_):
-        # log-semiring matmul: (B, T, N, N) ⊗ (B, T, N, N)
-        return jax.nn.logsumexp(a[..., :, :, None] + b_[..., None, :, :],
-                                axis=-2)
-
-    prefix = jax.lax.associative_scan(combine, mats, axis=1)
-    final = prefix[:, -1]                                     # (B, N, N)
+    final = _tree_reduce_semiring(_step_matrices(params, emissions, maskf),
+                                  _logsumexp_combine)
     alpha = jax.nn.logsumexp(alpha0[:, :, None] + final, axis=1)
     return jax.nn.logsumexp(alpha + params["end"][None, :], axis=1)
 
@@ -116,12 +142,18 @@ def crf_loss(params, emissions, tags, mask):
     return -crf_log_likelihood(params, emissions, tags, mask, "mean")
 
 
-def crf_decode(params, emissions, mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def crf_decode(params, emissions, mask,
+               unroll: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Viterbi decode.
 
     Returns (best_tags (B, S) int32, lengths (B,) int32).  Positions beyond a
     sequence's length repeat its last real tag (harmless: hosts slice by
     length, matching the reference's list-of-lists decode).
+
+    ``unroll`` trades while-loop trips for program size with bit-identical
+    numerics; measured neutral-to-worse at (B32, S128, N13) — the scan is
+    not trip-latency-bound on this hardware (bench_crf_probe.py) — so the
+    default stays 1.
     """
     emissions = emissions.astype(jnp.float32)
     B, S, N = emissions.shape
@@ -142,7 +174,8 @@ def crf_decode(params, emissions, mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
         bp = jnp.where(m_i[:, None] > 0, best_prev, ident)
         return score, bp
 
-    final_score, bps = jax.lax.scan(fwd, score0, (e_t[1:], mask_t[1:]))
+    final_score, bps = jax.lax.scan(fwd, score0, (e_t[1:], mask_t[1:]),
+                                    unroll=unroll)
     final_score = final_score + params["end"][None, :]
     last_tag = jnp.argmax(final_score, axis=1).astype(jnp.int32)   # (B,)
 
@@ -152,10 +185,70 @@ def crf_decode(params, emissions, mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
     # Reverse scan: ys[i] is the tag at position i+1; the final carry is the
     # tag at position 0.
-    first_tag, tags_rev = jax.lax.scan(bwd, last_tag, bps, reverse=True)
+    first_tag, tags_rev = jax.lax.scan(bwd, last_tag, bps, reverse=True,
+                                       unroll=unroll)
     tags = jnp.concatenate([first_tag[None], tags_rev], axis=0)    # (S, B)
     lengths = mask.astype(jnp.int32).sum(axis=1)
     return _time_major(tags), lengths
+
+
+def crf_decode_parallel(params, emissions, mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Viterbi decode in O(log S) depth (same semantics as :func:`crf_decode`).
+
+    Three fully parallel stages replace the two sequential S-step scans:
+
+    1. forward maxes: max-plus prefix products of the step matrices via
+       ``associative_scan`` (masked steps are the semiring identity, which
+       also makes their backpointers the identity map automatically);
+    2. backpointers: one batched argmax over the prev axis for ALL
+       positions at once (the emission term is constant in prev, so it
+       cannot change the argmax);
+    3. backtrace: pointer doubling — reverse ``associative_scan`` over
+       backpointer-map composition ``(f ∘ g)[t] = f[g[t]]``.
+
+    fp caveat: stage 1 reorders float adds (tree vs sequential), so paths
+    whose scores tie within fp32 rounding may break ties differently than
+    :func:`crf_decode`/torchcrf.  Use for throughput paths; parity suites
+    pin the sequential decode.
+    """
+    emissions = emissions.astype(jnp.float32)
+    B, S, N = emissions.shape
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+    alpha0 = params["start"][None, :] + emissions[:, 0]            # (B, N)
+    if S == 1:
+        tag0 = jnp.argmax(alpha0 + params["end"][None, :], axis=1)
+        return tag0.astype(jnp.int32)[:, None], lengths
+
+    maskf = mask.astype(jnp.float32)
+    mats = _step_matrices(params, emissions, maskf)                # (B,S-1,N,N)
+
+    def maxplus(a, b_):
+        return jnp.max(a[..., :, :, None] + b_[..., None, :, :], axis=-2)
+
+    prefix = jax.lax.associative_scan(maxplus, mats, axis=1)       # (B,S-1,N,N)
+    alphas = jnp.max(alpha0[:, None, :, None] + prefix, axis=2)    # (B,S-1,N)
+    all_alphas = jnp.concatenate([alpha0[:, None], alphas], axis=1)
+
+    # bp[:, i] maps tag at position i+1 -> best tag at position i.  The
+    # argmax runs over cand = alpha_i[prev] + trans[prev, next] (+e const).
+    bps = jnp.argmax(all_alphas[:, :-1, :, None] + mats, axis=2)   # (B,S-1,N)
+
+    # Suffix composition H_i = bp_{i+1} ∘ bp_{i+2} ∘ ... ∘ bp_{S-1} (higher
+    # positions applied first); tag_i = H_i[last_tag].  Under reverse=True
+    # the combine fn's FIRST argument is the higher-index block, so the
+    # union map is lower∘higher = b[a].
+    def compose(a, b):
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    suffix = jax.lax.associative_scan(compose, bps, axis=1, reverse=True)
+    last_tag = jnp.argmax(all_alphas[:, -1] + params["end"][None, :],
+                          axis=1).astype(jnp.int32)                # (B,)
+    # tags[0..S-2] = suffix[:, 0..S-2][last_tag]; tags[S-1] = last_tag.
+    chains = jnp.take_along_axis(
+        suffix, last_tag[:, None, None].astype(suffix.dtype), axis=2)[..., 0]
+    tags = jnp.concatenate([chains.astype(jnp.int32),
+                            last_tag[:, None]], axis=1)            # (B, S)
+    return tags, lengths
 
 
 def crf_decode_brute_force(params, emissions, mask):

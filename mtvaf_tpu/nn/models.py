@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from .bert import BertConfig, bert_model, xla_attention
-from .crf import crf_decode, crf_loss, init_crf_params
+from .crf import (crf_decode, crf_decode_parallel, crf_loss,
+                  init_crf_params)
 from .layers import dense, dense_init, dropout
 from .prefix import anp_kl_loss, build_prefix_kvs, encode_guides, init_prefix_params
 from .probe import combine_loss, init_probe_params, probe_loss
@@ -379,7 +380,10 @@ def crf_model_forward(params, cfg, bert_cfg: BertConfig, batch: Dict,
         result["img_tag_loss"] = cfg.alpha * img_tag_loss
         result["loss"] = loss + cfg.alpha * img_tag_loss
     if with_decode:
-        tags, lengths = crf_decode(params["crf"], emissions, batch["input_mask"])
+        decode = (crf_decode_parallel
+                  if getattr(cfg, "crf_decode_impl", "scan") == "parallel"
+                  else crf_decode)
+        tags, lengths = decode(params["crf"], emissions, batch["input_mask"])
         result["pred_tags"] = tags
         result["lengths"] = lengths
     return result

@@ -5,7 +5,7 @@
 * :func:`construct_pseudo_labels` — the sort-and-quantize pseudo-depth labels
   (reference probes/constructLabel.py:11-29).  The reference runs O(B·L²)
   pure-Python loops on the host *inside the training step*; here it is a
-  vectorized sort + ``lax.scan`` inside the jit graph.
+  vectorized sort + closed-form cumulative-min inside the jit graph.
 * :func:`probe_loss` — MSE(norms, pseudo-labels)
   (reference probes/probe_trainModel.py:15-26).
 * :func:`combine_loss` — ``loss + probe_loss·β·2^(−epoch)`` gated on
@@ -43,27 +43,30 @@ def construct_pseudo_labels(norms: jnp.ndarray) -> jnp.ndarray:
     subsequent sorted norm keeps the previous label when it is closer to it
     than to label+1 (i.e. increments iff ``n_j >= prev_label + 0.5``)
     (reference probes/constructLabel.py:14-28).
+
+    TPU-first closed form (replaces an S-step sequential scan whose tiny
+    per-step work left the op latency-bound).  With 1-based sorted position
+    ``j``, integer labels, and ``r_j = floor(n_j + 0.5)`` the recurrence
+    ``L_j = L_{j-1} + [n_j >= L_{j-1} + 0.5]`` is exactly
+    ``L_j = min(max(r_j, 2), L_{j-1} + 1)`` (the sorted norms make ``r``
+    nondecreasing, so ``r_j < L_{j-1}`` can only happen while ``L`` still
+    sits at its initial 2 — every later increment to ``L`` required
+    ``r >= L`` and ``r`` never goes back down).  A pure min-plus recurrence
+    unrolls to a running minimum:
+    ``L_j = j + min_{2<=i<=j}(v_i - i)``, ``v_2 = 2``, ``v_i = max(r_i, 2)``
+    — one ``cummin``, no sequential loop.
     """
     norms = norms.astype(jnp.float32)
     b, s = norms.shape
     order = jnp.argsort(norms, axis=1)
     sorted_norms = jnp.take_along_axis(norms, order, axis=1)   # (B, S)
 
-    def body(prev_label, n_j):
-        # prev_label (B,), n_j (B,)
-        inc = jnp.abs(n_j - prev_label) >= jnp.abs(prev_label + 1.0 - n_j)
-        label = jnp.where(inc, prev_label + 1.0, prev_label)
-        return label, label
-
-    if s == 1:
-        sorted_labels = jnp.ones((b, 1), jnp.float32)
-    else:
-        init = jnp.full((b,), 2.0, jnp.float32)     # sorted position 1 → 2
-        _, rest = jax.lax.scan(body, init, jnp.swapaxes(sorted_norms, 0, 1)[2:])
-        sorted_labels = jnp.concatenate(
-            [jnp.ones((b, 1), jnp.float32),
-             jnp.full((b, 1), 2.0, jnp.float32),
-             jnp.swapaxes(rest, 0, 1)], axis=1)
+    pos = jnp.arange(s, dtype=jnp.float32)[None, :]            # 0-based k = j-1
+    r = jnp.maximum(jnp.floor(sorted_norms + 0.5), 2.0)
+    v = jnp.where(pos == 1.0, 2.0, r)                          # v_2 = 2
+    w = jnp.where(pos == 0.0, jnp.inf, v - (pos + 1.0))        # exclude j=1
+    labels = (pos + 1.0) + jax.lax.cummin(w, axis=1)
+    sorted_labels = jnp.where(pos == 0.0, 1.0, labels)         # L_1 = 1
 
     inv = jnp.argsort(order, axis=1)
     return jnp.take_along_axis(sorted_labels, inv, axis=1)

@@ -95,3 +95,39 @@ class TestCRF:
         f = jax.jit(crf_decode)
         tags1, l1 = f(params, emissions, mask)
         assert tags1.shape == emissions.shape[:2]
+
+
+class TestParallelViterbi:
+    """crf_decode_parallel: O(log S)-depth decode (max-plus prefix products
+    + pointer-doubling backtrace) must reproduce the sequential decode."""
+
+    def test_vs_sequential_random(self):
+        from mtvaf_tpu.nn.crf import crf_decode_parallel
+        rng = np.random.default_rng(7)
+        key = jax.random.PRNGKey(3)
+        for trial in range(6):
+            B = int(rng.integers(1, 5))
+            S = int(rng.integers(1, 24))
+            N = int(rng.integers(2, 8))
+            params = init_crf_params(jax.random.fold_in(key, trial), N)
+            em = jnp.asarray(rng.standard_normal((B, S, N)), jnp.float32) * 3
+            lens = rng.integers(1, S + 1, B)
+            mask = jnp.asarray(
+                (np.arange(S)[None, :] < lens[:, None]).astype(np.int32))
+            t_seq, l_seq = crf_decode(params, em, mask)
+            t_par, l_par = crf_decode_parallel(params, em, mask)
+            np.testing.assert_array_equal(np.asarray(l_seq), np.asarray(l_par))
+            for b in range(B):
+                L = int(lens[b])
+                np.testing.assert_array_equal(
+                    np.asarray(t_seq)[b, :L], np.asarray(t_par)[b, :L],
+                    err_msg=f"trial={trial} b={b}")
+
+    def test_vs_brute_force(self, setup):
+        from mtvaf_tpu.nn.crf import crf_decode_parallel
+        params, emissions, mask, _ = setup
+        tags, lengths = crf_decode_parallel(params, emissions, mask)
+        tags, lengths = np.asarray(tags), np.asarray(lengths)
+        want = crf_decode_brute_force(params, emissions, mask)
+        for b in range(len(want)):
+            assert tags[b, :lengths[b]].tolist() == want[b]
