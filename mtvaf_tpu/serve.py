@@ -1,0 +1,160 @@
+"""Online serving: dynamic request batching around the predictors.
+
+The reference stops at an offline ``--only_test`` loop
+(/root/reference/MTVAF_training.py:391-394); :mod:`mtvaf_tpu.infer` adds the
+offline batch APIs (``predict`` / ``predict_many``).  This module is the
+online tier: concurrent callers submit single sentences and a background
+worker coalesces them into fixed-shape device batches — the TPU sees one
+jitted program at one batch size (no shape churn, no per-request dispatch),
+callers see a Future each.
+
+Batching policy (the standard latency/throughput knobs):
+
+* ``max_batch``   — coalesce at most this many requests per device call
+                    (the predictor's compiled batch shape; tail is padded).
+* ``max_wait_ms`` — a partially-filled batch launches after this long; a
+                    full batch launches immediately.
+
+Under load the server converges to full batches (throughput of
+``predict_many``); idle single requests pay at most ``max_wait_ms`` + one
+device call.  Latency percentiles are tracked per request.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+class BatchingServer:
+    """Dynamic-batching front-end for a ``CrfPredictor`` or ``SpanPredictor``.
+
+    >>> server = BatchingServer(predictor, max_batch=16, max_wait_ms=5.0)
+    >>> fut = server.submit("the pizza was great but service slow")
+    >>> fut.result()
+    [('pizza', 'POS'), ('service', 'NEG')]
+    >>> server.close()
+
+    Thread-safe; ``submit`` never blocks on device work.  Images are
+    accepted per request (multimodal predictors batch them alongside the
+    text).  Results keep request order within a batch and are delivered
+    through each request's own Future.
+    """
+
+    def __init__(self, predictor, *, max_batch: int = 16,
+                 max_wait_ms: float = 5.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._predictor = predictor
+        self._max_batch = int(max_batch)
+        self._max_wait_s = float(max_wait_ms) / 1e3
+        self._lock = threading.Condition()
+        self._queue: List[Tuple[str, Optional[Any], Future]] = []
+        self._closed = False
+        self._latencies_ms: List[float] = []
+        self._batch_sizes: List[int] = []
+        self._worker = threading.Thread(target=self._run, name="mtvaf-serve",
+                                        daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------ API
+
+    def submit(self, sentence: str, image=None) -> Future:
+        """Enqueue one sentence (+ optional preprocessed image, (224,224,3)
+        fp32); returns a Future resolving to that sentence's predictions."""
+        fut: Future = Future()
+        fut._mtvaf_t0 = time.perf_counter()           # latency accounting
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.append((sentence, image, fut))
+            self._lock.notify()
+        return fut
+
+    def predict(self, sentence: str, image=None):
+        """Synchronous convenience wrapper around :meth:`submit`."""
+        return self.submit(sentence, image).result()
+
+    def stats(self) -> Dict[str, float]:
+        """Served-request latency percentiles (ms) and batch occupancy."""
+        with self._lock:
+            lats = sorted(self._latencies_ms)
+            sizes = list(self._batch_sizes)
+        if not lats:
+            return {"served": 0}
+
+        def pct(p):
+            return lats[min(len(lats) - 1, int(p / 100.0 * len(lats)))]
+
+        return {"served": len(lats), "p50_ms": round(pct(50), 2),
+                "p95_ms": round(pct(95), 2), "p99_ms": round(pct(99), 2),
+                "mean_batch": round(sum(sizes) / len(sizes), 2),
+                "batches": len(sizes)}
+
+    def close(self, timeout: Optional[float] = 30.0) -> None:
+        """Stop accepting requests, drain the queue, join the worker."""
+        with self._lock:
+            self._closed = True
+            self._lock.notify()
+        self._worker.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # --------------------------------------------------------------- worker
+
+    def _take_batch(self) -> Optional[List[Tuple[str, Optional[Any], Future]]]:
+        """Block until a batch is ready (full, aged out, or closing)."""
+        with self._lock:
+            while True:
+                if self._queue:
+                    deadline = self._queue[0][2]._mtvaf_t0 + self._max_wait_s
+                    if (len(self._queue) >= self._max_batch or self._closed
+                            or time.perf_counter() >= deadline):
+                        take = self._queue[:self._max_batch]
+                        del self._queue[:len(take)]
+                        return take
+                    self._lock.wait(timeout=max(
+                        0.0, deadline - time.perf_counter()))
+                elif self._closed:
+                    return None
+                else:
+                    self._lock.wait()
+
+    def _run(self) -> None:
+        import numpy as np
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            n = len(batch)
+            # Pad to the full compiled batch shape: the device must only
+            # ever see ONE program at ONE batch size (a partial batch at a
+            # new size would trigger a fresh XLA compile mid-serving).
+            sentences = [s for s, _, _ in batch]
+            sentences += [sentences[-1]] * (self._max_batch - n)
+            images = None
+            if any(img is not None for _, img, _ in batch):
+                blank = np.zeros((224, 224, 3), np.float32)
+                images = np.stack([blank if img is None else img
+                                   for _, img, _ in batch]
+                                  + [blank] * (self._max_batch - n))
+            try:
+                results = self._predictor.predict(sentences, images=images)[:n]
+            except BaseException as e:                # resolve, don't wedge
+                for _, _, fut in batch:
+                    fut.set_exception(e)
+                continue
+            now = time.perf_counter()
+            with self._lock:
+                self._batch_sizes.append(len(batch))
+                for (_, _, fut), res in zip(batch, results):
+                    self._latencies_ms.append((now - fut._mtvaf_t0) * 1e3)
+            for (_, _, fut), res in zip(batch, results):
+                fut.set_result(res)

@@ -1,0 +1,135 @@
+"""Online serving tests: dynamic batching, ordering, padding, failure paths."""
+
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from mtvaf_tpu.core.config import Config
+from mtvaf_tpu.data.synthetic import make_vocab_file
+from mtvaf_tpu.data.tokenization import FullTokenizer
+from mtvaf_tpu.infer import CrfPredictor
+from mtvaf_tpu.nn.bert import BertConfig
+from mtvaf_tpu.nn.models import init_crf_model_params
+from mtvaf_tpu.serve import BatchingServer
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    p = tmp_path_factory.mktemp("v") / "vocab.txt"
+    make_vocab_file(str(p))
+    return FullTokenizer(str(p))
+
+
+@pytest.fixture(scope="module")
+def predictor(tokenizer):
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    return CrfPredictor(cfg, bert_cfg, params, tokenizer)
+
+
+class _RecordingPredictor:
+    """Deterministic fake: records batch sizes, echoes per-sentence tags."""
+
+    def __init__(self, delay_s=0.0, fail_on=None):
+        self.calls = []
+        self.delay_s = delay_s
+        self.fail_on = fail_on
+
+    def predict(self, sentences, images=None, aux_images=None):
+        self.calls.append(len(sentences))
+        if self.fail_on is not None and any(
+                self.fail_on in s for s in sentences):
+            raise ValueError("boom")
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        return [[(s, "POS")] for s in sentences]
+
+
+def test_results_match_and_order_preserved():
+    fake = _RecordingPredictor()
+    with BatchingServer(fake, max_batch=4, max_wait_ms=10.0) as server:
+        futs = [server.submit(f"sentence {i}") for i in range(10)]
+        results = [f.result(timeout=10) for f in futs]
+    for i, res in enumerate(results):
+        assert res == [(f"sentence {i}", "POS")]
+    # every device call saw the full padded batch shape
+    assert set(fake.calls) == {4}
+
+
+def test_batches_coalesce_under_load():
+    fake = _RecordingPredictor(delay_s=0.05)
+    with BatchingServer(fake, max_batch=8, max_wait_ms=2.0) as server:
+        futs = [server.submit(f"s{i}") for i in range(32)]
+        [f.result(timeout=30) for f in futs]
+        stats = server.stats()
+    assert stats["served"] == 32
+    # while one batch is on the "device", the rest of the queue coalesces
+    assert stats["mean_batch"] > 1.5
+    assert stats["batches"] < 32
+
+
+def test_partial_batch_launches_after_max_wait():
+    fake = _RecordingPredictor()
+    with BatchingServer(fake, max_batch=64, max_wait_ms=20.0) as server:
+        t0 = time.perf_counter()
+        res = server.predict("lonely request")
+        dt = time.perf_counter() - t0
+    assert res == [("lonely request", "POS")]
+    assert dt < 5.0          # launched on the wait timer, not on batch-full
+
+
+def test_predictor_errors_resolve_futures():
+    fake = _RecordingPredictor(fail_on="bad")
+    with BatchingServer(fake, max_batch=2, max_wait_ms=5.0) as server:
+        good = server.submit("fine")
+        bad = server.submit("bad apple")
+        with pytest.raises(ValueError):
+            bad.result(timeout=10)
+        # the failing batch resolves exceptionally; later batches still work
+        assert good.exception(timeout=10) is not None \
+            or good.result(timeout=10)
+        ok = server.submit("fine again")
+        assert ok.result(timeout=10) == [("fine again", "POS")]
+
+
+def test_submit_after_close_raises():
+    fake = _RecordingPredictor()
+    server = BatchingServer(fake, max_batch=2, max_wait_ms=1.0)
+    server.close()
+    with pytest.raises(RuntimeError):
+        server.submit("late")
+
+
+def test_concurrent_submitters():
+    fake = _RecordingPredictor(delay_s=0.01)
+    results = {}
+
+    def client(cid, server):
+        futs = [(i, server.submit(f"c{cid}-{i}")) for i in range(5)]
+        results[cid] = [(i, f.result(timeout=30)) for i, f in futs]
+
+    with BatchingServer(fake, max_batch=8, max_wait_ms=2.0) as server:
+        threads = [threading.Thread(target=client, args=(c, server))
+                   for c in range(4)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+    for cid, pairs in results.items():
+        for i, res in pairs:
+            assert res == [(f"c{cid}-{i}", "POS")]
+
+
+def test_real_predictor_end_to_end(predictor):
+    """Server results == direct predictor results on the same sentences."""
+    sents = ["the pizza was great but service slow", "bad battery",
+             "nice view from the room"]
+    want = predictor.predict(sents + [sents[-1]])[:3]   # padded batch of 4
+    with BatchingServer(predictor, max_batch=4, max_wait_ms=50.0) as server:
+        futs = [server.submit(s) for s in sents]
+        got = [f.result(timeout=120) for f in futs]
+    assert got == want
+    stats = server.stats()
+    assert stats["served"] == 3 and stats["p50_ms"] > 0
