@@ -1,0 +1,110 @@
+"""Online serving bench (TPU): BatchingServer under closed-loop load.
+
+Drives the dynamic-batching server (mtvaf_tpu/serve.py) with K concurrent
+synchronous clients over the production text CRF predictor (the
+c6_crf_serving model shape: BERT-base, b16 s128) and reports sustained
+sentences/s plus p50/p95 request latency per concurrency level.
+
+What it shows: at K=1 the request pays one wait window + one device call
+(latency floor); as K grows the queue coalesces into full 16-row batches
+and the dispatch/collect pipeline (depth 4) overlaps each batch's ~25-40 ms
+tunnel fetch with the next batches' compute — throughput should approach
+the offline predict_many rate (BENCH_CONFIGS c6).
+
+Writes BENCH_SERVE.json (one row per K) and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import time
+
+BATCH = 16
+PIPELINE_DEPTH = 4
+MAX_WAIT_MS = 5.0
+REQUESTS_PER_CLIENT = 60
+CONCURRENCY = (1, 8, 32, 64, 128)
+
+
+def main():
+    import numpy as np
+
+    from mtvaf_tpu.core.platform import configure_tpu_defaults
+    configure_tpu_defaults()
+
+    import jax
+
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.data.synthetic import make_vocab_file
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+    from mtvaf_tpu.infer import CrfPredictor
+    from mtvaf_tpu.kernels.prefix_attention import select_attention_impl
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.nn.models import init_crf_model_params
+    from mtvaf_tpu.serve import BatchingServer
+
+    cfg = Config(dataset_name="twitter2015")
+    with tempfile.TemporaryDirectory() as d:
+        make_vocab_file(os.path.join(d, "vocab.txt"))
+        tok = FullTokenizer(os.path.join(d, "vocab.txt"))
+        bc = BertConfig(vocab_size=max(len(tok.vocab), 128))
+        params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bc)
+        predictor = CrfPredictor(cfg, bc, params, tok,
+                                 attention_impl=select_attention_impl(
+                                     cfg, False))
+        rng = np.random.RandomState(0)
+        words = [w for w in tok.vocab if w.isalpha()][:200] or ["food"]
+
+        def sentence(i):
+            return " ".join(rng.choice(words, size=12))
+
+        predictor.predict([sentence(0)] * BATCH)        # compile once
+
+        rows = []
+        for k in CONCURRENCY:
+            server = BatchingServer(predictor, max_batch=BATCH,
+                                    max_wait_ms=MAX_WAIT_MS,
+                                    pipeline_depth=PIPELINE_DEPTH)
+            n_req = REQUESTS_PER_CLIENT * k
+            errors = []
+
+            def client(cid):
+                try:
+                    for i in range(REQUESTS_PER_CLIENT):
+                        server.predict(sentence(cid * 1000 + i))
+                except BaseException as e:     # pragma: no cover
+                    errors.append(e)
+
+            threads = [threading.Thread(target=client, args=(c,))
+                       for c in range(k)]
+            t0 = time.perf_counter()
+            [t.start() for t in threads]
+            [t.join() for t in threads]
+            dt = time.perf_counter() - t0
+            stats = server.stats()
+            server.close()
+            assert not errors, errors[0]
+            assert stats["served"] == n_req
+            rows.append({"concurrency": k, "sentences_per_sec":
+                         round(n_req / dt, 1),
+                         "p50_ms": stats["p50_ms"],
+                         "p95_ms": stats["p95_ms"],
+                         "mean_batch": stats["mean_batch"]})
+            print(json.dumps(rows[-1]), flush=True)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SERVE.json"), "w") as f:
+        json.dump({"config": "online BatchingServer, text CRF BERT-base "
+                             f"b{BATCH} s{cfg.max_seq}, pipeline depth "
+                             f"{PIPELINE_DEPTH}, max_wait {MAX_WAIT_MS} ms",
+                   "rows": rows}, f, indent=1)
+    print(json.dumps({"metric": "online_serving_peak_sentences_per_sec",
+                      "value": max(r["sentences_per_sec"] for r in rows),
+                      "unit": "sentences/s"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,13 +106,27 @@ class CrfPredictor(_PredictorBase):
                 if s < len(words)])
         return results
 
-    def predict(self, sentences: Sequence[str], images=None, aux_images=None,
-                ) -> List[List[Tuple[str, str]]]:
+    def dispatch(self, sentences: Sequence[str], images=None, aux_images=None):
+        """Issue one batch's device work without blocking on the results:
+        tokenize + upload + enqueue the jitted decode.  Returns an opaque
+        handle for :meth:`collect`.  Lets callers (serve.BatchingServer,
+        custom loops) keep several batches in flight — on latency-bound
+        backends the per-batch host round-trip hides behind the next
+        batches' compute (the predict_many pattern, exposed)."""
         batch = self._make_batch(sentences, images, aux_images)
         out = self._decode(self.params, batch)
+        return (list(sentences), batch, out)
+
+    def collect(self, handle) -> List[List[Tuple[str, str]]]:
+        """Block on one :meth:`dispatch` handle and decode its results."""
+        sentences, batch, out = handle
         return self._to_results(sentences, np.asarray(batch["label_ids"]),
                                 np.asarray(batch["input_mask"]),
                                 np.asarray(out["pred_tags"]))
+
+    def predict(self, sentences: Sequence[str], images=None, aux_images=None,
+                ) -> List[List[Tuple[str, str]]]:
+        return self.collect(self.dispatch(sentences, images, aux_images))
 
     def predict_many(self, sentences: Sequence[str], *, batch_size: int = 16,
                      window: int = 4) -> List[List[Tuple[str, str]]]:
@@ -215,11 +229,19 @@ class SpanPredictor(_PredictorBase):
             results.append(out)
         return results
 
-    def predict(self, sentences: Sequence[str], images=None, aux_images=None
-                ) -> List[List[Tuple[str, str]]]:
+    def dispatch(self, sentences: Sequence[str], images=None, aux_images=None):
+        """Issue the extraction stage for one batch without blocking (see
+        CrfPredictor.dispatch).  The span pipeline's host NMS seam and the
+        classification stage run in :meth:`collect`."""
         examples, feats, batch = self._make_batch(sentences, images,
                                                   aux_images)
         s_logits, e_logits, seq = self._extract(self.params, batch)
+        return (examples, feats, s_logits, e_logits, seq)
+
+    def collect(self, handle) -> List[List[Tuple[str, str]]]:
+        """Block on one :meth:`dispatch` handle: fetch logits, pick span
+        candidates on the host, classify, decode."""
+        examples, feats, s_logits, e_logits, seq = handle
         s_np, e_np = np.asarray(s_logits), np.asarray(e_logits)
         all_ss, all_se, all_masks = self._candidates(examples, feats,
                                                      s_np, e_np)
@@ -228,6 +250,10 @@ class SpanPredictor(_PredictorBase):
             jnp.asarray(np.stack([all_ss, all_se]), jnp.int32)))
         return self._to_results(examples, feats, all_ss, all_se, all_masks,
                                 ac.argmax(axis=-1))
+
+    def predict(self, sentences: Sequence[str], images=None, aux_images=None
+                ) -> List[List[Tuple[str, str]]]:
+        return self.collect(self.dispatch(sentences, images, aux_images))
 
     def predict_many(self, sentences: Sequence[str], *, batch_size: int = 16,
                      window: int = 4) -> List[List[Tuple[str, str]]]:

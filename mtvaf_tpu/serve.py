@@ -14,10 +14,15 @@ Batching policy (the standard latency/throughput knobs):
                     (the predictor's compiled batch shape; tail is padded).
 * ``max_wait_ms`` — a partially-filled batch launches after this long; a
                     full batch launches immediately.
+* ``pipeline_depth`` — up to this many batches in flight on the device
+                    (dispatch/collect split; per-batch host round-trips
+                    hide behind the next batches' compute — essential on
+                    tunneled backends where each fetch is a ~25-40 ms RPC).
 
-Under load the server converges to full batches (throughput of
-``predict_many``); idle single requests pay at most ``max_wait_ms`` + one
-device call.  Latency percentiles are tracked per request.
+Under load the server converges to full, pipelined batches (the
+throughput of ``predict_many``); idle single requests pay at most
+``max_wait_ms`` + one device call.  Latency percentiles are tracked per
+request.
 """
 
 from __future__ import annotations
@@ -44,12 +49,21 @@ class BatchingServer:
     """
 
     def __init__(self, predictor, *, max_batch: int = 16,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, pipeline_depth: int = 4):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
         self._predictor = predictor
         self._max_batch = int(max_batch)
         self._max_wait_s = float(max_wait_ms) / 1e3
+        # Keep up to pipeline_depth batches in flight on the device: the
+        # worker issues predictor.dispatch() and hands the blocking
+        # predictor.collect() to a fetch pool, so per-batch host round
+        # trips (a full RPC each on tunneled backends) hide behind the
+        # next batches' compute.  Depth 1 = fully synchronous.
+        self._pipeline_depth = int(pipeline_depth) \
+            if hasattr(predictor, "dispatch") else 1
         self._lock = threading.Condition()
         self._queue: List[Tuple[str, Optional[Any], Future]] = []
         self._closed = False
@@ -127,34 +141,74 @@ class BatchingServer:
                 else:
                     self._lock.wait()
 
+    def _resolve(self, batch, results_or_exc) -> None:
+        if isinstance(results_or_exc, BaseException):
+            for _, _, fut in batch:
+                fut.set_exception(results_or_exc)
+            return
+        now = time.perf_counter()
+        with self._lock:
+            self._batch_sizes.append(len(batch))
+            for _, _, fut in batch:
+                self._latencies_ms.append((now - fut._mtvaf_t0) * 1e3)
+        for (_, _, fut), res in zip(batch, results_or_exc):
+            fut.set_result(res)
+
     def _run(self) -> None:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         import numpy as np
-        while True:
-            batch = self._take_batch()
-            if batch is None:
-                return
-            n = len(batch)
-            # Pad to the full compiled batch shape: the device must only
-            # ever see ONE program at ONE batch size (a partial batch at a
-            # new size would trigger a fresh XLA compile mid-serving).
-            sentences = [s for s, _, _ in batch]
-            sentences += [sentences[-1]] * (self._max_batch - n)
-            images = None
-            if any(img is not None for _, img, _ in batch):
-                blank = np.zeros((224, 224, 3), np.float32)
-                images = np.stack([blank if img is None else img
-                                   for _, img, _ in batch]
-                                  + [blank] * (self._max_batch - n))
+
+        inflight: deque = deque()        # pool futures, for backpressure
+
+        def collect_and_resolve(batch, n, handle):
+            # Runs on a pool thread and resolves the request futures
+            # ITSELF: the worker may already be blocked waiting for new
+            # requests, so trailing batches must not depend on it.
             try:
-                results = self._predictor.predict(sentences, images=images)[:n]
-            except BaseException as e:                # resolve, don't wedge
-                for _, _, fut in batch:
-                    fut.set_exception(e)
-                continue
-            now = time.perf_counter()
-            with self._lock:
-                self._batch_sizes.append(len(batch))
-                for (_, _, fut), res in zip(batch, results):
-                    self._latencies_ms.append((now - fut._mtvaf_t0) * 1e3)
-            for (_, _, fut), res in zip(batch, results):
-                fut.set_result(res)
+                self._resolve(batch, self._predictor.collect(handle)[:n])
+            except BaseException as e:              # resolve, don't wedge
+                self._resolve(batch, e)
+
+        with ThreadPoolExecutor(max_workers=self._pipeline_depth,
+                                thread_name_prefix="mtvaf-serve-fetch") \
+                as fetcher:
+            while True:
+                b = self._take_batch()
+                if b is None:
+                    while inflight:
+                        inflight.popleft().result()
+                    return
+                n = len(b)
+                # Pad to the full compiled batch shape: the device must
+                # only ever see ONE program at ONE batch size (a partial
+                # batch at a new size would trigger a fresh XLA compile
+                # mid-serving).
+                sentences = [s for s, _, _ in b]
+                sentences += [sentences[-1]] * (self._max_batch - n)
+                images = None
+                if any(img is not None for _, img, _ in b):
+                    blank = np.zeros((224, 224, 3), np.float32)
+                    images = np.stack([blank if img is None else img
+                                       for _, img, _ in b]
+                                      + [blank] * (self._max_batch - n))
+                if self._pipeline_depth > 1:
+                    try:
+                        handle = self._predictor.dispatch(sentences,
+                                                          images=images)
+                    except BaseException as e:
+                        self._resolve(b, e)
+                        continue
+                    inflight.append(fetcher.submit(collect_and_resolve,
+                                                   b, n, handle))
+                    while len(inflight) >= self._pipeline_depth:
+                        inflight.popleft().result()
+                else:
+                    try:
+                        results = self._predictor.predict(
+                            sentences, images=images)[:n]
+                    except BaseException as e:
+                        self._resolve(b, e)
+                        continue
+                    self._resolve(b, results)

@@ -133,3 +133,38 @@ def test_real_predictor_end_to_end(predictor):
     assert got == want
     stats = server.stats()
     assert stats["served"] == 3 and stats["p50_ms"] > 0
+
+
+class _PipelinedFake:
+    """Fake with the dispatch/collect split; records max in-flight depth."""
+
+    def __init__(self, collect_delay_s=0.02):
+        self.collect_delay_s = collect_delay_s
+        self._inflight = 0
+        self._max_inflight = 0
+        self._lock = threading.Lock()
+
+    def dispatch(self, sentences, images=None, aux_images=None):
+        with self._lock:
+            self._inflight += 1
+            self._max_inflight = max(self._max_inflight, self._inflight)
+        return list(sentences)
+
+    def collect(self, handle):
+        time.sleep(self.collect_delay_s)
+        with self._lock:
+            self._inflight -= 1
+        return [[(s, "POS")] for s in handle]
+
+
+def test_pipelined_results_and_depth_bound():
+    fake = _PipelinedFake()
+    with BatchingServer(fake, max_batch=2, max_wait_ms=1.0,
+                        pipeline_depth=3) as server:
+        futs = [server.submit(f"p{i}") for i in range(20)]
+        results = [f.result(timeout=30) for f in futs]
+    for i, res in enumerate(results):
+        assert res == [(f"p{i}", "POS")]
+    assert fake._max_inflight <= 3
+    # with slow collects and a fast queue, the pipeline actually filled
+    assert fake._max_inflight >= 2
