@@ -254,7 +254,25 @@ def make_extraction_step(cfg, bert_cfg: BertConfig,
 def make_classification_step(cfg, bert_cfg: BertConfig) -> Callable:
     """``span_pairs`` is the host-picked candidates stacked (2, B, n_best)
     int32 (starts at [0], ends at [1]) so the eval seam uploads ONE buffer
-    per batch — each tunnel RPC costs ~25-40 ms (docs/DESIGN.md §8b)."""
+    per batch — each tunnel RPC costs ~25-40 ms (docs/DESIGN.md §8b).
+
+    With ``gcn_layer_number > 0`` the reference's eval forward re-encodes
+    the sequence through valid-ids compression + DiGCN before the span
+    gather (models/bert_model.py:270-284, dropout inert in eval); the
+    returned step then takes two extra arguments (valid_ids — or None —
+    and adjacency_matrix)."""
+    if getattr(cfg, "gcn_layer_number", 0) > 0:
+        def classify_gcn(params, seq_output, span_pairs, valid_ids,
+                         adjacency_matrix):
+            from ..nn.gcn import compress_valid_ids, digcn_forward
+            seq = seq_output
+            if valid_ids is not None:
+                seq = compress_valid_ids(seq, valid_ids)
+            seq = digcn_forward(params["digcn"], seq, adjacency_matrix)
+            return span_classification(params, cfg, seq, span_pairs[0],
+                                       span_pairs[1])
+        return jax.jit(classify_gcn)
+
     def classify(params, seq_output, span_pairs):
         return span_classification(params, cfg, seq_output, span_pairs[0],
                                    span_pairs[1])

@@ -378,14 +378,20 @@ class SpanTrainer:
 
             def harvest_one():
                 """Take one extraction, run host NMS, dispatch classify."""
-                batch, valid, se_fut, seq = pending_ext.popleft()
+                batch, valid, se_fut, seq, gcn = pending_ext.popleft()
                 se_np = se_fut.result()               # one fetch: (2, B, S)
                 ss, se, labels, masks = batch_eval_candidates(
                     dataset.examples, dataset.features,
                     batch["example_index"], se_np[0], se_np[1], cfg)
-                ac_logits = self.classification_step(
-                    eval_params, seq,
-                    jnp.asarray(np.stack([ss, se]), jnp.int32))
+                pairs = jnp.asarray(np.stack([ss, se]), jnp.int32)
+                if gcn is not None:
+                    # DiGCN eval: re-encode before the span gather
+                    # (reference models/bert_model.py:270-284)
+                    ac_logits = self.classification_step(
+                        eval_params, seq, pairs, gcn[0], gcn[1])
+                else:
+                    ac_logits = self.classification_step(eval_params, seq,
+                                                         pairs)
                 pending_cls.append((batch, valid, ss, se, masks,
                                     fetcher.submit(np.asarray, ac_logits)))
 
@@ -409,10 +415,15 @@ class SpanTrainer:
                 dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
                 s_logits, e_logits, seq = self.extraction_step(
                     eval_params, dev_batch)
+                gcn = None
+                if cfg.gcn_layer_number > 0:
+                    gcn = (dev_batch.get("valid_ids"),
+                           dev_batch["adjacency_matrix"])
                 pending_ext.append(
                     (batch, valid,
                      fetcher.submit(np.asarray,
-                                    jnp.stack([s_logits, e_logits])), seq))
+                                    jnp.stack([s_logits, e_logits])), seq,
+                     gcn))
                 if len(pending_ext) > window:
                     harvest_one()
                 while len(pending_cls) > window:
