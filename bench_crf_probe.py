@@ -6,9 +6,9 @@ Three production changes, each timed against the variant it replaced
 * CRF log Z: associative_scan prefix products (old) vs binary reduction
   tree (new — log Z only needs the FINAL product; the tree does half the
   combines and its backward stashes half the intermediates).
-* Viterbi decode: sequential scan (old, unroll=1) vs unroll=8 scan (new
-  default, bit-identical) vs the O(log S)-depth max-plus parallel decode
-  (opt-in ``--crf_decode_impl parallel``).
+* Viterbi decode: sequential scan (the default, unroll=1) vs an unroll=8
+  scan (bit-identical numerics, fewer while-loop trips) vs the O(log S)-
+  depth max-plus parallel decode (opt-in ``--crf_decode_impl parallel``).
 * Probe pseudo-labels: S-step sequential scan (old) vs the closed-form
   cummin (new) — fwd only (labels are stop_gradient), timed inside a
   probe_loss-shaped fwd+bwd.
@@ -129,7 +129,8 @@ def main():
                                             axis=0), 0, 1)
 
     timed("decode_scan_unroll1", jax.jit(decode_unroll1), params, em, mask)
-    timed("decode_scan_unroll8", jax.jit(crf_decode), params, em, mask)
+    timed("decode_scan_unroll8",
+          jax.jit(functools.partial(crf_decode, unroll=8)), params, em, mask)
     timed("decode_parallel", jax.jit(crf_decode_parallel), params, em, mask)
 
     # --- probe pseudo-labels ---------------------------------------------

@@ -57,9 +57,12 @@ def main():
                                      cfg, False))
         rng = np.random.RandomState(0)
         words = [w for w in tok.vocab if w.isalpha()][:200] or ["food"]
+        # pre-generate on the main thread: RandomState is not thread-safe
+        # and clients run concurrently
+        pool = [" ".join(rng.choice(words, size=12)) for _ in range(512)]
 
         def sentence(i):
-            return " ".join(rng.choice(words, size=12))
+            return pool[i % len(pool)]
 
         predictor.predict([sentence(0)] * BATCH)        # compile once
 

@@ -134,10 +134,10 @@ class CrfPredictor(_PredictorBase):
 
         Fixed-size batches (one jit program; the tail batch is padded by
         repeating its last sentence and the padding rows are dropped),
-        dispatched ``window`` deep with result fetches overlapped in a
-        thread pool — on latency-bound backends the per-batch host
-        round-trips hide behind the next batches' compute (the same pattern
-        as the trainers' eval loops)."""
+        dispatched ``window`` deep through :meth:`dispatch` with
+        :meth:`collect` overlapped in a thread pool — on latency-bound
+        backends the per-batch host round-trips hide behind the next
+        batches' compute (the same pattern as the trainers' eval loops)."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -145,23 +145,16 @@ class CrfPredictor(_PredictorBase):
         pending = deque()
 
         def finish_one():
-            sents, n, fut = pending.popleft()
-            mask_np, labels_np, tags_np = fut.result()
-            results.extend(self._to_results(
-                sents[:n], labels_np, mask_np, tags_np)[:n])
+            n, fut = pending.popleft()
+            results.extend(fut.result()[:n])
 
         with ThreadPoolExecutor(max_workers=4) as fetcher:
             for i in range(0, len(sentences), batch_size):
                 chunk = list(sentences[i:i + batch_size])
                 n = len(chunk)
                 chunk += [chunk[-1]] * (batch_size - n)     # pad tail batch
-                batch = self._make_batch(chunk, None, None)
-                out = self._decode(self.params, batch)
                 pending.append(
-                    (chunk, n, fetcher.submit(
-                        jax.device_get,
-                        (batch["input_mask"], batch["label_ids"],
-                         out["pred_tags"]))))
+                    (n, fetcher.submit(self.collect, self.dispatch(chunk))))
                 if len(pending) > window:
                     finish_one()
             while pending:
@@ -229,37 +222,59 @@ class SpanPredictor(_PredictorBase):
             results.append(out)
         return results
 
-    def dispatch(self, sentences: Sequence[str], images=None, aux_images=None):
+    def dispatch(self, sentences: Sequence[str], images=None, aux_images=None,
+                 gcn=None):
         """Issue the extraction stage for one batch without blocking (see
         CrfPredictor.dispatch).  The span pipeline's host NMS seam and the
-        classification stage run in :meth:`collect`."""
+        classification stage run in :meth:`collect`.
+
+        ``gcn``: optional (valid_ids (B, S), adjacency_matrix (B, S, S))
+        side arrays for a DiGCN-trained model (``cfg.gcn_layer_number >
+        0``); without them the eval classification skips the DiGCN
+        re-encode (matching the trainers when the GCN side file is
+        absent)."""
         examples, feats, batch = self._make_batch(sentences, images,
                                                   aux_images)
         s_logits, e_logits, seq = self._extract(self.params, batch)
-        return (examples, feats, s_logits, e_logits, seq)
+        if gcn is not None:
+            gcn = tuple(None if g is None else jnp.asarray(g) for g in gcn)
+        return (examples, feats, s_logits, e_logits, seq, gcn)
 
     def collect(self, handle) -> List[List[Tuple[str, str]]]:
         """Block on one :meth:`dispatch` handle: fetch logits, pick span
         candidates on the host, classify, decode."""
-        examples, feats, s_logits, e_logits, seq = handle
+        examples, feats, s_logits, e_logits, seq, gcn = handle
         s_np, e_np = np.asarray(s_logits), np.asarray(e_logits)
         all_ss, all_se, all_masks = self._candidates(examples, feats,
                                                      s_np, e_np)
-        ac = np.asarray(self._classify(
-            self.params, seq,
-            jnp.asarray(np.stack([all_ss, all_se]), jnp.int32)))
+        pairs = jnp.asarray(np.stack([all_ss, all_se]), jnp.int32)
+        if self.cfg.gcn_layer_number > 0:
+            valid_ids, adjacency = gcn if gcn is not None else (None, None)
+            ac_dev = self._classify(self.params, seq, pairs, valid_ids,
+                                    adjacency)
+        else:
+            ac_dev = self._classify(self.params, seq, pairs)
+        ac = np.asarray(ac_dev)
         return self._to_results(examples, feats, all_ss, all_se, all_masks,
                                 ac.argmax(axis=-1))
 
-    def predict(self, sentences: Sequence[str], images=None, aux_images=None
-                ) -> List[List[Tuple[str, str]]]:
-        return self.collect(self.dispatch(sentences, images, aux_images))
+    def predict(self, sentences: Sequence[str], images=None, aux_images=None,
+                gcn=None) -> List[List[Tuple[str, str]]]:
+        return self.collect(self.dispatch(sentences, images, aux_images,
+                                          gcn=gcn))
 
     def predict_many(self, sentences: Sequence[str], *, batch_size: int = 16,
                      window: int = 4) -> List[List[Tuple[str, str]]]:
         """High-throughput span serving: the extract → host-NMS → classify
         seam pipelined two stages deep with pooled fetches (same pattern as
-        the span trainer's eval loop); fixed-size batches, padded tail."""
+        the span trainer's eval loop); fixed-size batches, padded tail.
+
+        Deliberately NOT built on dispatch/collect: collect() blocks
+        through both device stages, while this loop overlaps the
+        extraction fetch, the host NMS, and the classification fetch of
+        DIFFERENT batches independently — keep the two in sync when
+        changing either (esp. the _classify signature, which grows two
+        args under gcn_layer_number > 0)."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -274,9 +289,14 @@ class SpanPredictor(_PredictorBase):
                 se_np = se_fut.result()
                 all_ss, all_se, all_masks = self._candidates(
                     examples, feats, se_np[0], se_np[1])
-                ac = self._classify(
-                    self.params, seq,
-                    jnp.asarray(np.stack([all_ss, all_se]), jnp.int32))
+                pairs = jnp.asarray(np.stack([all_ss, all_se]), jnp.int32)
+                if self.cfg.gcn_layer_number > 0:
+                    # raw-text streaming has no dependency parses: skip
+                    # the DiGCN re-encode (classify_gcn's None-adjacency
+                    # path), like the trainers without a GCN side file
+                    ac = self._classify(self.params, seq, pairs, None, None)
+                else:
+                    ac = self._classify(self.params, seq, pairs)
                 pending_cls.append((n, examples, feats, all_ss, all_se,
                                     all_masks,
                                     fetcher.submit(np.asarray, ac)))

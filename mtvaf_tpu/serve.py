@@ -64,11 +64,15 @@ class BatchingServer:
         # next batches' compute.  Depth 1 = fully synchronous.
         self._pipeline_depth = int(pipeline_depth) \
             if hasattr(predictor, "dispatch") else 1
+        from collections import deque
         self._lock = threading.Condition()
         self._queue: List[Tuple[str, Optional[Any], Future]] = []
         self._closed = False
-        self._latencies_ms: List[float] = []
-        self._batch_sizes: List[int] = []
+        # stats windows are bounded: a long-running server must not grow
+        # without limit, and stats() sorts under the lock
+        self._served = 0
+        self._latencies_ms = deque(maxlen=8192)
+        self._batch_sizes = deque(maxlen=8192)
         self._worker = threading.Thread(target=self._run, name="mtvaf-serve",
                                         daemon=True)
         self._worker.start()
@@ -92,17 +96,19 @@ class BatchingServer:
         return self.submit(sentence, image).result()
 
     def stats(self) -> Dict[str, float]:
-        """Served-request latency percentiles (ms) and batch occupancy."""
+        """Served-request count plus latency percentiles (ms) and batch
+        occupancy over the most recent window (8192 requests)."""
         with self._lock:
+            served = self._served
             lats = sorted(self._latencies_ms)
             sizes = list(self._batch_sizes)
         if not lats:
-            return {"served": 0}
+            return {"served": served}
 
         def pct(p):
             return lats[min(len(lats) - 1, int(p / 100.0 * len(lats)))]
 
-        return {"served": len(lats), "p50_ms": round(pct(50), 2),
+        return {"served": served, "p50_ms": round(pct(50), 2),
                 "p95_ms": round(pct(95), 2), "p99_ms": round(pct(99), 2),
                 "mean_batch": round(sum(sizes) / len(sizes), 2),
                 "batches": len(sizes)}
@@ -149,6 +155,7 @@ class BatchingServer:
         now = time.perf_counter()
         with self._lock:
             self._batch_sizes.append(len(batch))
+            self._served += len(batch)
             for _, _, fut in batch:
                 self._latencies_ms.append((now - fut._mtvaf_t0) * 1e3)
         for (_, _, fut), res in zip(batch, results_or_exc):

@@ -259,16 +259,19 @@ def make_classification_step(cfg, bert_cfg: BertConfig) -> Callable:
     With ``gcn_layer_number > 0`` the reference's eval forward re-encodes
     the sequence through valid-ids compression + DiGCN before the span
     gather (models/bert_model.py:270-284, dropout inert in eval); the
-    returned step then takes two extra arguments (valid_ids — or None —
-    and adjacency_matrix)."""
+    returned step then takes two extra arguments (valid_ids and
+    adjacency_matrix — either may be None: a None adjacency skips the
+    re-encode entirely, mirroring the train path's behavior when the GCN
+    side file is absent, models.py `"adjacency_matrix" in batch`)."""
     if getattr(cfg, "gcn_layer_number", 0) > 0:
         def classify_gcn(params, seq_output, span_pairs, valid_ids,
                          adjacency_matrix):
             from ..nn.gcn import compress_valid_ids, digcn_forward
             seq = seq_output
-            if valid_ids is not None:
-                seq = compress_valid_ids(seq, valid_ids)
-            seq = digcn_forward(params["digcn"], seq, adjacency_matrix)
+            if adjacency_matrix is not None:
+                if valid_ids is not None:
+                    seq = compress_valid_ids(seq, valid_ids)
+                seq = digcn_forward(params["digcn"], seq, adjacency_matrix)
             return span_classification(params, cfg, seq, span_pairs[0],
                                        span_pairs[1])
         return jax.jit(classify_gcn)

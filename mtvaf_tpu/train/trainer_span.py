@@ -417,8 +417,11 @@ class SpanTrainer:
                     eval_params, dev_batch)
                 gcn = None
                 if cfg.gcn_layer_number > 0:
+                    # adjacency may be absent (the CLI silently drops a
+                    # missing GCN side file); classify_gcn treats a None
+                    # adjacency as "skip the re-encode", like the train path
                     gcn = (dev_batch.get("valid_ids"),
-                           dev_batch["adjacency_matrix"])
+                           dev_batch.get("adjacency_matrix"))
                 pending_ext.append(
                     (batch, valid,
                      fetcher.submit(np.asarray,

@@ -66,3 +66,26 @@ def test_span_trainer_with_gcn_data(tmp_path):
     trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=ds,
                           dev_dataset=ds, test_dataset=ds)
     trainer.train()  # exercises the dualgcn tat_loss + penal path per step
+
+
+def test_span_trainer_gcn_cfg_without_side_file(tmp_path):
+    """--gcn_layer_number with NO GCN side file (the CLI silently drops a
+    missing one): training skips the re-encode and evaluate() must not
+    crash on the missing adjacency key."""
+    vocab = tmp_path / "vocab.txt"
+    make_vocab_file(str(vocab))
+    tok = FullTokenizer(str(vocab))
+    train_f = tmp_path / "train.txt"
+    make_span_file(str(train_f), 4, seed=3, max_len=8)
+
+    cfg = Config(dataset_name="twitter15", max_seq=24, gcn_layer_number=1,
+                 train_batch_size=2, eval_batch_size=2, num_epochs=1,
+                 eval_begin_epoch=1, max_answer_length=4, n_best_size=6,
+                 bf16=False, save_path=str(tmp_path / "out"))
+    ds = SpanDataset.load(cfg, tok, str(train_f))      # no gcn_file
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg,
+                                    BertConfig.tiny(vocab_size=len(tok.vocab)))
+    trainer = SpanTrainer(cfg, BertConfig.tiny(vocab_size=len(tok.vocab)),
+                          params, train_dataset=ds, dev_dataset=ds,
+                          test_dataset=ds)
+    trainer.train()                                    # incl. evaluate()

@@ -93,3 +93,32 @@ def test_span_predict_many_matches_predict(tokenizer):
     got = pred.predict_many(sents, batch_size=2, window=1)
     want = [pred.predict([s])[0] for s in sents]
     assert got == want
+
+
+def test_span_predictor_with_digcn(tokenizer):
+    """A DiGCN-trained span model must serve: with side arrays the eval
+    classification re-encodes through compression + DiGCN; without them
+    (raw-text streaming) it skips the re-encode like the trainers when the
+    GCN side file is absent."""
+    cfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
+                 max_answer_length=4, logit_threshold=-100.0, bf16=False,
+                 gcn_layer_number=1)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    pred = SpanPredictor(cfg, bert_cfg, params, tokenizer)
+    sents = ["great phone bad battery", "nice view"]
+
+    out_plain = pred.predict(sents)              # no side data: skip DiGCN
+    assert len(out_plain) == 2
+
+    rng = np.random.RandomState(0)
+    valid = np.ones((2, cfg.max_seq), np.int32)
+    adj = (rng.rand(2, cfg.max_seq, cfg.max_seq) > 0.5).astype(np.float32)
+    out_gcn = pred.predict(sents, gcn=(valid, adj))
+    assert len(out_gcn) == 2
+
+    # the re-encode must actually change the classification inputs:
+    # polarity predictions may or may not differ, but the call path must
+    # accept both shapes without retracing errors
+    out_many = pred.predict_many(sents * 3, batch_size=2, window=1)
+    assert len(out_many) == 6
