@@ -120,9 +120,10 @@ class CrfPredictor(_PredictorBase):
     def collect(self, handle) -> List[List[Tuple[str, str]]]:
         """Block on one :meth:`dispatch` handle and decode its results."""
         sentences, batch, out = handle
-        return self._to_results(sentences, np.asarray(batch["label_ids"]),
-                                np.asarray(batch["input_mask"]),
-                                np.asarray(out["pred_tags"]))
+        # one pooled fetch for all three arrays (a tunnel RPC each otherwise)
+        labels_np, mask_np, tags_np = jax.device_get(
+            (batch["label_ids"], batch["input_mask"], out["pred_tags"]))
+        return self._to_results(sentences, labels_np, mask_np, tags_np)
 
     def predict(self, sentences: Sequence[str], images=None, aux_images=None,
                 ) -> List[List[Tuple[str, str]]]:
