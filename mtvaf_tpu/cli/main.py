@@ -153,6 +153,17 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
     bert_params = load_backbone_params(cfg, bert_cfg)
     resnet_params = load_resnet(cfg) if cfg.use_prefix else None
 
+    # Persist the run configuration next to the model artifacts so
+    # inference can be rebuilt from the directory alone
+    # (infer.load_predictor / the mtvaf-serve entry point).
+    if cfg.save_path and jax.process_index() == 0:
+        import dataclasses as _dc
+        import json as _json
+        os.makedirs(cfg.save_path, exist_ok=True)
+        with open(os.path.join(cfg.save_path, "run_config.json"), "w") as f:
+            _json.dump({"config": _dc.asdict(cfg),
+                        "bert_config": _dc.asdict(bert_cfg)}, f, indent=1)
+
     writer = None
     try:
         from tensorboardX import SummaryWriter

@@ -1,0 +1,119 @@
+"""``mtvaf-serve`` — HTTP serving front-end over a trained run.
+
+Loads a predictor from a training run's ``--save_path`` (run_config.json +
+best_model.npz, see ``infer.load_predictor``) and serves it through the
+dynamic-batching ``BatchingServer`` on a stdlib ThreadingHTTPServer —
+zero extra dependencies, one compiled device program.
+
+  mtvaf-serve --save_path out/ --port 8088
+  curl -s localhost:8088/predict -d '{"sentences": ["the pizza was great"]}'
+  -> {"results": [[["pizza", "POS"]]]}
+  curl -s localhost:8088/stats
+  -> {"served": 1, "p50_ms": ..., "mean_batch": ...}
+
+Concurrent HTTP requests coalesce into shared device batches: each
+sentence becomes one BatchingServer submit, so a burst of single-sentence
+POSTs from many clients fills 16-row device batches exactly like the
+closed-loop bench (BENCH_SERVE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def build_app(server):
+    """Request handler class bound to a BatchingServer (separable for
+    tests)."""
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            logger.debug("http: " + fmt, *args)
+
+        def do_GET(self):
+            if self.path == "/stats":
+                self._reply(200, server.stats())
+            elif self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                sentences = req["sentences"]
+                assert isinstance(sentences, list) and all(
+                    isinstance(s, str) for s in sentences)
+            except Exception as e:  # noqa: BLE001
+                self._reply(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                futs = [server.submit(s) for s in sentences]
+                results = [f.result(timeout=120) for f in futs]
+            except Exception as e:  # noqa: BLE001
+                self._reply(500, {"error": str(e)})
+                return
+            self._reply(200, {"results": results})
+
+    return Handler
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser("mtvaf-serve")
+    p.add_argument("--save_path", required=True,
+                   help="training run directory (run_config.json + "
+                        "best_model.npz)")
+    p.add_argument("--bert_name", default=None,
+                   help="override the run's tokenizer directory")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8088)
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--pipeline_depth", type=int, default=4)
+    args = p.parse_args(argv)
+
+    from http.server import ThreadingHTTPServer
+
+    from ..infer import load_predictor
+    from ..serve import BatchingServer
+
+    logger.info("loading predictor from %s", args.save_path)
+    predictor = load_predictor(args.save_path, bert_name=args.bert_name)
+    # compile the serving program before accepting traffic
+    predictor.predict(["warm up"] * args.max_batch)
+
+    with BatchingServer(predictor, max_batch=args.max_batch,
+                        max_wait_ms=args.max_wait_ms,
+                        pipeline_depth=args.pipeline_depth) as server:
+        httpd = ThreadingHTTPServer((args.host, args.port),
+                                    build_app(server))
+        logger.info("serving on http://%s:%d (POST /predict, GET /stats)",
+                    args.host, args.port)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            logger.info("shutting down")
+        finally:
+            httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

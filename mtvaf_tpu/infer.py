@@ -329,3 +329,52 @@ class SpanPredictor(_PredictorBase):
             while pending_cls:
                 finish_one()
         return results
+
+
+def load_predictor(save_path: str, *, bert_name: str = None,
+                   attention_impl=None):
+    """Rebuild the right predictor from a training run's save directory.
+
+    Reads ``run_config.json`` (written by the CLI at train start) and
+    ``best_model.npz``; rebuilds the tokenizer from the run's
+    ``--bert_name`` directory (override with ``bert_name`` if the
+    checkpoint moved) and, for prefix runs, the frozen ResNet from the
+    run's ``--resnet_root``.
+
+    >>> predictor = load_predictor("out/")          # Crf or Span, by config
+    >>> predictor.predict(["the pizza was great"])
+    """
+    import json
+    import os
+
+    from .core.checkpoint import load_best
+    from .core.config import Config
+    from .data.tokenization import build_tokenizer
+    from .kernels.prefix_attention import select_attention_impl
+    from .native.binding import maybe_accelerate
+    from .nn.models import init_crf_model_params, init_span_model_params
+
+    with open(os.path.join(save_path, "run_config.json")) as f:
+        meta = json.load(f)
+    cfg = Config(**meta["config"])
+    bert_cfg = BertConfig(**meta["bert_config"])
+
+    tok_dir = bert_name or cfg.bert_name
+    tokenizer = maybe_accelerate(
+        build_tokenizer(tok_dir, cfg.do_lower_case))
+    if attention_impl is None:
+        attention_impl = select_attention_impl(cfg, train=False)
+
+    init_fn = (init_span_model_params if cfg.is_span_pipeline
+               else init_crf_model_params)
+    template = init_fn(jax.random.PRNGKey(0), cfg, bert_cfg)
+    params = load_best(os.path.join(save_path, "best_model.npz"), template)
+
+    resnet_params = None
+    if cfg.use_prefix:
+        from .cli.main import load_resnet
+        resnet_params = load_resnet(cfg)
+
+    cls = SpanPredictor if cfg.is_span_pipeline else CrfPredictor
+    return cls(cfg, bert_cfg, params, tokenizer,
+               resnet_params=resnet_params, attention_impl=attention_impl)

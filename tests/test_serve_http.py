@@ -1,0 +1,103 @@
+"""mtvaf-serve surface: run_config.json → load_predictor → HTTP serving."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from mtvaf_tpu.cli.serve_main import build_app
+from mtvaf_tpu.nn.bert import BertConfig
+from mtvaf_tpu.serve import BatchingServer
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """One tiny CLI training run (writes run_config.json + best_model.npz)."""
+    from mtvaf_tpu.cli.main import main
+    from mtvaf_tpu.data.synthetic import make_crf_files, make_vocab_file
+    from mtvaf_tpu.data.tokenization import load_vocab
+
+    tmp = tmp_path_factory.mktemp("serve_http")
+    root = tmp / "data"
+    base = root / "twitter2015" / "twitter2015"
+    base.mkdir(parents=True)
+    merged = {}
+    for mode, fname in (("train", "train.txt"), ("dev", "valid.txt"),
+                        ("test", "test.txt")):
+        make_crf_files(str(base / fname), str(tmp / f"anp_{mode}.json"), 8,
+                       seed=hash(mode) % 100, num_anp=8)
+        merged.update(json.load(open(tmp / f"anp_{mode}.json")))
+    (root / "ANP_data").mkdir()
+    json.dump(merged, open(root / "ANP_data" / "image_output2015.json", "w"))
+    bert_dir = tmp / "bert"
+    bert_dir.mkdir()
+    make_vocab_file(str(bert_dir / "vocab.txt"))
+
+    save = tmp / "out"
+    vocab_size = len(load_vocab(str(bert_dir / "vocab.txt")))
+    main(["--dataset_name", "twitter2015", "--do_train",
+          "--bert_name", str(bert_dir), "--num_epochs", "1",
+          "--eval_begin_epoch", "1", "--train_batch_size", "4",
+          "--eval_batch_size", "4", "--max_seq", "32",
+          "--save_path", str(save), "--data_root", str(root), "--no_bf16"],
+         bert_cfg_override=BertConfig.tiny(vocab_size=vocab_size))
+    return save
+
+
+def test_run_config_written_and_load_predictor(trained_run):
+    from mtvaf_tpu.infer import CrfPredictor, load_predictor
+
+    meta = json.load(open(trained_run / "run_config.json"))
+    assert meta["config"]["dataset_name"] == "twitter2015"
+    assert meta["bert_config"]["hidden_size"] == 32       # the tiny override
+
+    predictor = load_predictor(str(trained_run))
+    assert isinstance(predictor, CrfPredictor)
+    out = predictor.predict(["the pizza was great but service slow"])
+    assert len(out) == 1
+
+
+def _http(url, data=None):
+    req = urllib.request.Request(
+        url, data=None if data is None else json.dumps(data).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_endpoints(trained_run):
+    from http.server import ThreadingHTTPServer
+
+    from mtvaf_tpu.infer import load_predictor
+
+    predictor = load_predictor(str(trained_run))
+    with BatchingServer(predictor, max_batch=4, max_wait_ms=5.0) as server:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), build_app(server))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            code, body = _http(f"{base}/healthz")
+            assert code == 200 and body == {"ok": True}
+
+            code, body = _http(f"{base}/predict",
+                               {"sentences": ["great pizza", "bad battery"]})
+            assert code == 200
+            assert len(body["results"]) == 2
+
+            code, body = _http(f"{base}/stats")
+            assert code == 200 and body["served"] == 2
+
+            code, body = _http(f"{base}/predict", {"wrong": 1})
+            assert code == 400
+
+            code, body = _http(f"{base}/nope")
+            assert code == 404
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
