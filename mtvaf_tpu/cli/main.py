@@ -93,19 +93,9 @@ def load_backbone_params(cfg: Config, bert_cfg: BertConfig):
     return None
 
 
-def load_resnet(cfg: Config):
-    import jax
-    from ..core.convert import resnet_params_from_torch
-    from ..nn.resnet import BLOCK_COUNTS, init_resnet_params
-    depth = cfg.resnet_depth
-    if cfg.resnet_root:
-        path = os.path.join(cfg.resnet_root, f"resnet{depth}.pth")
-        if os.path.exists(path):
-            from ..core.checkpoint import load_torch_file
-            return resnet_params_from_torch(load_torch_file(path),
-                                            BLOCK_COUNTS[depth])
-    logger.warning("no resnet weights at %s — random init", cfg.resnet_root)
-    return init_resnet_params(jax.random.PRNGKey(0), depth=depth)
+# re-export: the loader lives in core/convert so the inference library can
+# use it without importing this CLI module (which configures logging)
+from ..core.convert import load_resnet  # noqa: E402,F401
 
 
 def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
@@ -147,7 +137,6 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
     bert_cfg = bert_cfg_override or BertConfig.from_hf_dir(
         cfg.bert_name, cfg.is_roberta)
     if cfg.remat or not cfg.selective_remat:
-        import dataclasses
         bert_cfg = dataclasses.replace(
             bert_cfg, remat=cfg.remat, selective_remat=cfg.selective_remat)
     bert_params = load_backbone_params(cfg, bert_cfg)
@@ -155,14 +144,16 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
 
     # Persist the run configuration next to the model artifacts so
     # inference can be rebuilt from the directory alone
-    # (infer.load_predictor / the mtvaf-serve entry point).
-    if cfg.save_path and jax.process_index() == 0:
-        import dataclasses as _dc
+    # (infer.load_predictor / the mtvaf-serve entry point).  Training runs
+    # only: an --only_test re-run with different flags must not clobber
+    # the config that describes best_model.npz.
+    if cfg.do_train and cfg.save_path and jax.process_index() == 0:
         import json as _json
         os.makedirs(cfg.save_path, exist_ok=True)
         with open(os.path.join(cfg.save_path, "run_config.json"), "w") as f:
-            _json.dump({"config": _dc.asdict(cfg),
-                        "bert_config": _dc.asdict(bert_cfg)}, f, indent=1)
+            _json.dump({"config": dataclasses.asdict(cfg),
+                        "bert_config": dataclasses.asdict(bert_cfg)},
+                       f, indent=1)
 
     writer = None
     try:

@@ -11,6 +11,12 @@ zero extra dependencies, one compiled device program.
   curl -s localhost:8088/stats
   -> {"served": 1, "p50_ms": ..., "mean_batch": ...}
 
+Multimodal (prefix) runs accept per-sentence images as base64-encoded
+JPEG/PNG aligned with ``sentences`` (null entries allowed):
+``{"sentences": [...], "images": ["<b64>", null, ...]}`` — decoded with
+the production eval transform; sentences without an image run text-only
+(no visual guides), same as the trainers on a missing image.
+
 Concurrent HTTP requests coalesce into shared device batches: each
 sentence becomes one BatchingServer submit, so a burst of single-sentence
 POSTs from many clients fills 16-row device batches exactly like the
@@ -24,6 +30,14 @@ import json
 import logging
 
 logger = logging.getLogger(__name__)
+
+
+def _decode_image(b64: str):
+    """base64 JPEG/PNG → the production (224, 224, 3) fp32 eval transform."""
+    import base64
+
+    from ..data.images import process_image_bytes
+    return process_image_bytes(base64.b64decode(b64))
 
 
 def build_app(server):
@@ -59,13 +73,25 @@ def build_app(server):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 sentences = req["sentences"]
-                assert isinstance(sentences, list) and all(
-                    isinstance(s, str) for s in sentences)
+                # explicit checks, not assert: validation must survive -O
+                if not isinstance(sentences, list) or not all(
+                        isinstance(s, str) for s in sentences):
+                    raise ValueError("'sentences' must be a list of strings")
+                images = req.get("images")
+                if images is not None:
+                    if (not isinstance(images, list)
+                            or len(images) != len(sentences)):
+                        raise ValueError("'images' must align with "
+                                         "'sentences' (null entries allowed)")
+                    images = [None if b is None else _decode_image(b)
+                              for b in images]
             except Exception as e:  # noqa: BLE001
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
             try:
-                futs = [server.submit(s) for s in sentences]
+                futs = [server.submit(s, image=img)
+                        for s, img in zip(sentences,
+                                          images or [None] * len(sentences))]
                 results = [f.result(timeout=120) for f in futs]
             except Exception as e:  # noqa: BLE001
                 self._reply(500, {"error": str(e)})
@@ -97,6 +123,11 @@ def main(argv=None):
 
     logger.info("loading predictor from %s", args.save_path)
     predictor = load_predictor(args.save_path, bert_name=args.bert_name)
+    if predictor.cfg.use_prefix:
+        logger.warning(
+            "prefix run: POST base64 'images' aligned with 'sentences' for "
+            "visual guides; requests without images run text-only (the "
+            "first image-bearing batch compiles a second program)")
     # compile the serving program before accepting traffic
     predictor.predict(["warm up"] * args.max_batch)
 

@@ -210,3 +210,25 @@ def transplant_named(target_flat: Dict[str, np.ndarray],
         if name in out and tuple(out[name].shape) == tuple(np.shape(value)):
             out[name] = value
     return out
+
+
+def load_resnet(cfg):
+    """Frozen-backbone params for ``cfg.resnet_depth`` from
+    ``cfg.resnet_root/resnet{depth}.pth`` (torchvision layout), or random
+    init when absent.  Shared by the CLI and ``infer.load_predictor``."""
+    import logging
+    import os
+
+    import jax
+
+    from ..nn.resnet import BLOCK_COUNTS, init_resnet_params
+    depth = cfg.resnet_depth
+    if cfg.resnet_root:
+        path = os.path.join(cfg.resnet_root, f"resnet{depth}.pth")
+        if os.path.exists(path):
+            from .checkpoint import load_torch_file
+            return resnet_params_from_torch(load_torch_file(path),
+                                            BLOCK_COUNTS[depth])
+    logging.getLogger(__name__).warning(
+        "no resnet weights at %s — random init", cfg.resnet_root)
+    return init_resnet_params(jax.random.PRNGKey(0), depth=depth)

@@ -81,7 +81,27 @@ def process_image(path: str, *, train: bool = False,
     the pure-Python path otherwise.  Random draws (crop top/left, hflip) are
     made host-side in the same order for both paths, so a seeded run is
     backend-independent up to the bilinear kernel's rounding."""
-    raw = _decode_rgb(path)
+    return _process_raw(_decode_rgb(path), train=train, rng=rng,
+                        use_native=use_native)
+
+
+def process_image_bytes(data: bytes, *, train: bool = False,
+                        rng: Optional[np.random.RandomState] = None,
+                        use_native: bool = True) -> np.ndarray:
+    """Encoded image bytes (JPEG/PNG/...) → (224, 224, 3) float32, same
+    transform as :func:`process_image` — the serving path's entry (images
+    arrive over the wire, not from disk)."""
+    import io
+
+    from PIL import Image
+    with Image.open(io.BytesIO(data)) as im:
+        raw = np.asarray(im.convert("RGB"), np.uint8)
+    return _process_raw(raw, train=train, rng=rng, use_native=use_native)
+
+
+def _process_raw(raw: np.ndarray, *, train: bool,
+                 rng: Optional[np.random.RandomState],
+                 use_native: bool) -> np.ndarray:
     nh, nw = _resize_dims(raw.shape[0], raw.shape[1])
     if train and rng is not None:
         top = rng.randint(0, max(nh - CROP, 0) + 1)

@@ -372,7 +372,7 @@ def load_predictor(save_path: str, *, bert_name: str = None,
 
     resnet_params = None
     if cfg.use_prefix:
-        from .cli.main import load_resnet
+        from .core.convert import load_resnet
         resnet_params = load_resnet(cfg)
 
     cls = SpanPredictor if cfg.is_span_pipeline else CrfPredictor

@@ -101,3 +101,59 @@ def test_http_endpoints(trained_run):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_http_predict_with_images():
+    """Prefix predictor over HTTP: base64 images flow through the eval
+    transform into visual guides; null entries run text-only."""
+    import base64
+    import io
+    from http.server import ThreadingHTTPServer
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.data.synthetic import make_vocab_file
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+    from mtvaf_tpu.infer import CrfPredictor
+    from mtvaf_tpu.nn.models import init_crf_model_params
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    make_vocab_file(os.path.join(d, "vocab.txt"))
+    tok = FullTokenizer(os.path.join(d, "vocab.txt"))
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bc = BertConfig.tiny(vocab_size=len(tok.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bc)
+    pred = CrfPredictor(cfg, bc, params, tok,
+                        resnet_params=init_resnet_params(
+                            jax.random.PRNGKey(1), depth=18))
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (64, 48, 3), np.uint8)
+    ).save(buf, format="JPEG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    with BatchingServer(pred, max_batch=2, max_wait_ms=10.0) as server:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), build_app(server))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            code, body = _http(f"{base}/predict",
+                               {"sentences": ["great pizza", "slow service"],
+                                "images": [b64, None]})
+            assert code == 200 and len(body["results"]) == 2
+
+            code, body = _http(f"{base}/predict",
+                               {"sentences": ["x"], "images": [b64, b64]})
+            assert code == 400          # misaligned images rejected
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
