@@ -236,7 +236,7 @@ class SpanPredictor(_PredictorBase):
         absent)."""
         examples, feats, batch = self._make_batch(sentences, images,
                                                   aux_images)
-        s_logits, e_logits, seq = self._extract(self.params, batch)
+        s_logits, e_logits, seq, _ = self._extract(self.params, batch)
         if gcn is not None:
             gcn = tuple(None if g is None else jnp.asarray(g) for g in gcn)
         return (examples, feats, s_logits, e_logits, seq, gcn)
@@ -315,7 +315,7 @@ class SpanPredictor(_PredictorBase):
                 n = len(chunk)
                 chunk += [chunk[-1]] * (batch_size - n)
                 examples, feats, batch = self._make_batch(chunk, None, None)
-                s_logits, e_logits, seq = self._extract(self.params, batch)
+                s_logits, e_logits, seq, _ = self._extract(self.params, batch)
                 pending_ext.append(
                     (n, examples, feats,
                      fetcher.submit(np.asarray,

@@ -243,7 +243,26 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
         batch["segment_ids"], prefix_kvs=prefix_kvs, rng=rngs[0],
         attention_impl=attention_impl, dtype=dtype, cutoff=cutoff,
         capture_layer=cfg.probe_layer if cfg.use_probe else None)
+    return span_model_tail(params, cfg, bert_cfg, batch, seq, start_logits,
+                           end_logits, captured=captured,
+                           rngs=(rngs[1], rngs[2]), epoch_const=epoch_const)
 
+
+def span_model_tail(params, cfg, bert_cfg: BertConfig, batch: Dict, seq,
+                    start_logits, end_logits, captured=None,
+                    rngs=(None, None), epoch_const: Optional[int] = None
+                    ) -> Dict:
+    """Post-encoder half of the span loss (reference
+    models/bert_model.py:270-316): DiGCN re-encode, span classification,
+    distant-CE + polarity-CE, optional DualGCN + probe terms.
+
+    Shared between the train loss (above) and the eval-loss step: the
+    reference's dev/test loops run the FULL forward a second time with the
+    eval-branch candidates to get the logged loss (modules/train.py:197-199,
+    295-305); in eval mode dropout is off, so applying this tail to the
+    extraction pass's own (seq, logits, captured) is the same math without
+    re-running the encoder.  ``rngs`` = (classification_rng, gcn_rng).
+    """
     # Optional DiGCN re-encoding of the sequence before classification
     # (reference models/bert_model.py:270-284): first-subtoken rows are
     # compacted to the front when valid_ids is supplied, dropout applies to
@@ -252,11 +271,11 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
         from .gcn import compress_valid_ids, digcn_forward
         if "valid_ids" in batch:
             seq = compress_valid_ids(seq, batch["valid_ids"])
-        seq = dropout(seq, 0.1, rngs[2])
+        seq = dropout(seq, 0.1, rngs[1])
         seq = digcn_forward(params["digcn"], seq, batch["adjacency_matrix"])
 
     ac_logits = span_classification(params, cfg, seq, batch["span_starts"],
-                                    batch["span_ends"], rng=rngs[1])
+                                    batch["span_ends"], rng=rngs[0])
 
     start_loss = distant_cross_entropy(start_logits, batch["start_positions"])
     end_loss = distant_cross_entropy(end_logits, batch["end_positions"])
@@ -271,10 +290,18 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
         ac_loss = jnp.sum(ce * m) / jnp.maximum(m.sum(), 1.0)
     else:
         # Reference quirk kept (models/bert_model.py:302-303):
-        # nn.CrossEntropyLoss mean-reduces BEFORE the mask multiply, so the
-        # mask is a no-op and padded slots train toward class 0 ('other') —
-        # acting as a null class for bad candidates at eval.
-        ac_loss = jnp.mean(ce)
+        # nn.CrossEntropyLoss mean-reduces BEFORE the mask multiply, so
+        # sum(mask * scalar)/mask.sum() cancels to the unmasked mean and
+        # padded slots train toward class 0 ('other') — acting as a null
+        # class for bad candidates at eval.  The cancelled factor is kept
+        # because it does NOT cancel when the batch has ZERO unmasked
+        # candidates: the eval branch's validity/threshold filters can
+        # reject every candidate, and the reference's 0/0 then propagates
+        # NaN into the logged eval loss (x/x is exactly 1.0 otherwise, so
+        # this costs nothing numerically).
+        m = batch["span_masks"].reshape(-1).astype(jnp.float32)
+        msum = jnp.sum(m)
+        ac_loss = jnp.mean(ce) * (msum / msum)
 
     tot_loss = ae_loss + ac_loss
     out = {"start_logits": start_logits, "end_logits": end_logits,
@@ -288,7 +315,7 @@ def span_model_loss(params, cfg, bert_cfg: BertConfig, batch: Dict,
         pooled = bert_pooler(params["bert"], seq)
         gcn_logits, penal = dualgcn_forward(
             params["dualgcn"], cfg, seq, pooled, batch["adj_matrix"],
-            batch["src_mask"], batch["aspect_mask"], rng=rngs[2],
+            batch["src_mask"], batch["aspect_mask"], rng=rngs[1],
             heads=bert_cfg.num_attention_heads)
         lp = jax.nn.log_softmax(gcn_logits, axis=-1)
         tat_loss = -jnp.mean(jnp.take_along_axis(

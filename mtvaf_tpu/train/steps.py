@@ -242,13 +242,41 @@ def make_extraction_step(cfg, bert_cfg: BertConfig,
             from ..nn.models import visual_prompt
             prefix_kvs, _, _ = visual_prompt(params["prefix"], guides[0],
                                              guides[1], bert_cfg)
-        s, e, seq, _ = span_extraction(
+        s, e, seq, captured = span_extraction(
             params, cfg, bert_cfg, batch["input_ids"], batch["input_mask"],
             batch["segment_ids"], prefix_kvs=prefix_kvs,
-            attention_impl=attention_impl, dtype=dtype)
-        return s, e, seq
+            attention_impl=attention_impl, dtype=dtype,
+            capture_layer=cfg.probe_layer if cfg.use_probe else None)
+        return s, e, seq, captured
 
     return jax.jit(extraction)
+
+
+def make_span_eval_loss_step(cfg, bert_cfg: BertConfig) -> Callable:
+    """Eval-branch loss + ac_logits in one program.
+
+    The reference's dev/test loops run the FULL model forward a second time
+    with the eval-branch candidates and log the batch-mean loss
+    (modules/train.py:197-199,227-229 dev; :295-305 test).  Re-running the
+    encoder would double eval compute; in eval mode dropout is off, so
+    :func:`span_model_tail` applied to the extraction pass's own outputs
+    (seq, start/end logits, captured probe layer) is exactly the same math.
+    ``span_pack`` stacks the host-picked candidates
+    (starts/ends/labels/masks) into ONE (4, B, n_best) int32 upload — each
+    tunnel RPC costs ~25-40 ms — and the returned (ac_logits, loss) replaces
+    the classification-only dispatch one-for-one."""
+    from ..nn.models import span_model_tail
+
+    def eval_loss(params, batch, seq, start_logits, end_logits, captured,
+                  span_pack):
+        b = dict(batch)
+        b["span_starts"], b["span_ends"] = span_pack[0], span_pack[1]
+        b["span_labels"], b["span_masks"] = span_pack[2], span_pack[3]
+        out = span_model_tail(params, cfg, bert_cfg, b, seq, start_logits,
+                              end_logits, captured=captured)
+        return out["ac_logits"], out["loss"]
+
+    return jax.jit(eval_loss)
 
 
 def make_classification_step(cfg, bert_cfg: BertConfig) -> Callable:

@@ -33,8 +33,8 @@ from .ingest import GuideCache, pack_and_put   # noqa: F401 (re-exported)
 from .optim import build_optimizer
 from .steps import (create_train_state, export_params,
                     make_classification_step, make_extraction_step,
-                    make_span_loss_fn, make_train_step, replace_params,
-                    shard_train_state)
+                    make_span_eval_loss_step, make_span_loss_fn,
+                    make_train_step, replace_params, shard_train_state)
 
 logger = logging.getLogger(__name__)
 
@@ -81,6 +81,7 @@ class SpanTrainer:
         self.extraction_step = make_extraction_step(cfg, bert_cfg,
                                                     attention_impl)
         self.classification_step = make_classification_step(cfg, bert_cfg)
+        self.eval_loss_step = make_span_eval_loss_step(cfg, bert_cfg)
 
         # SPMD data(-×tensor)-parallel mesh over all devices (reference DDP
         # engagement point, MTVAF_training.py:301-311).  None = single device.
@@ -352,8 +353,17 @@ class SpanTrainer:
         return self.best_dev_metric
 
     # ------------------------------------------------------------------
-    def _predict(self, dataset, window: int = 4) -> list:
+    def _predict(self, dataset, window: int = 4, compute_loss: bool = False):
         """Eval loop: extraction → host candidates/NMS → classification.
+
+        With ``compute_loss`` the classification dispatch is replaced
+        one-for-one by the eval-loss step, which additionally returns the
+        reference's logged eval loss — the full-forward loss on the
+        eval-branch candidates (modules/train.py:197-199, 295-305) — and
+        the return value becomes ``(results, mean_batch_loss)``.  Like the
+        reference, the logged loss is a mean of per-batch means (the padded
+        tail batch weighs its padding rows; logging only — F1/predictions
+        always drop padding rows).
 
         The device→host seam is pipelined TWO stages deep: extractions for
         the next batches are dispatched (window deep) while the host runs
@@ -370,6 +380,7 @@ class SpanTrainer:
         from ..data.datasets import iterate_batches
         cfg = self.cfg
         all_results = []
+        batch_losses = []
         pending_ext = deque()   # dispatched extractions (fetch futures)
         pending_cls = deque()   # dispatched classifications (fetch futures)
         eval_params = self._eval_params()
@@ -378,26 +389,39 @@ class SpanTrainer:
 
             def harvest_one():
                 """Take one extraction, run host NMS, dispatch classify."""
-                batch, valid, se_fut, seq, gcn = pending_ext.popleft()
+                batch, valid, se_fut, ext, gcn, dev_batch = \
+                    pending_ext.popleft()
                 se_np = se_fut.result()               # one fetch: (2, B, S)
                 ss, se, labels, masks = batch_eval_candidates(
                     dataset.examples, dataset.features,
                     batch["example_index"], se_np[0], se_np[1], cfg)
-                pairs = jnp.asarray(np.stack([ss, se]), jnp.int32)
-                if gcn is not None:
+                if compute_loss:
+                    pack = jnp.asarray(np.stack([ss, se, labels, masks]),
+                                       jnp.int32)
+                    ac_logits, loss = self.eval_loss_step(
+                        eval_params, dev_batch, ext[2], ext[0], ext[1],
+                        ext[3], pack)
+                    fut = fetcher.submit(jax.device_get, (ac_logits, loss))
+                elif gcn is not None:
                     # DiGCN eval: re-encode before the span gather
                     # (reference models/bert_model.py:270-284)
+                    pairs = jnp.asarray(np.stack([ss, se]), jnp.int32)
                     ac_logits = self.classification_step(
-                        eval_params, seq, pairs, gcn[0], gcn[1])
+                        eval_params, ext[2], pairs, gcn[0], gcn[1])
+                    fut = fetcher.submit(np.asarray, ac_logits)
                 else:
-                    ac_logits = self.classification_step(eval_params, seq,
+                    pairs = jnp.asarray(np.stack([ss, se]), jnp.int32)
+                    ac_logits = self.classification_step(eval_params, ext[2],
                                                          pairs)
-                pending_cls.append((batch, valid, ss, se, masks,
-                                    fetcher.submit(np.asarray, ac_logits)))
+                    fut = fetcher.submit(np.asarray, ac_logits)
+                pending_cls.append((batch, valid, ss, se, masks, fut))
 
             def finish_one():
                 batch, valid, ss, se, masks, ac_fut = pending_cls.popleft()
                 ac_np = ac_fut.result()
+                if compute_loss:
+                    ac_np, loss_np = ac_np
+                    batch_losses.append(float(loss_np))
                 for j, ex_idx in enumerate(batch["example_index"]):
                     if not valid[j]:
                         continue
@@ -413,7 +437,7 @@ class SpanTrainer:
                                             for_mesh=self.eval_mesh)
                 valid = batch.pop("batch_valid")
                 dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
-                s_logits, e_logits, seq = self.extraction_step(
+                s_logits, e_logits, seq, captured = self.extraction_step(
                     eval_params, dev_batch)
                 gcn = None
                 if cfg.gcn_layer_number > 0:
@@ -425,8 +449,9 @@ class SpanTrainer:
                 pending_ext.append(
                     (batch, valid,
                      fetcher.submit(np.asarray,
-                                    jnp.stack([s_logits, e_logits])), seq,
-                     gcn))
+                                    jnp.stack([s_logits, e_logits])),
+                     (s_logits, e_logits, seq, captured), gcn,
+                     dev_batch if compute_loss else None))
                 if len(pending_ext) > window:
                     harvest_one()
                 while len(pending_cls) > window:
@@ -435,19 +460,23 @@ class SpanTrainer:
                 harvest_one()
             while pending_cls:
                 finish_one()
+        if compute_loss:
+            return all_results, sum(batch_losses) / max(len(batch_losses), 1)
         return all_results
 
     def evaluate(self, epoch: int) -> float:
         cfg = self.cfg
-        results = self._predict(self.dev_dataset)
+        results, dev_loss = self._predict(self.dev_dataset,
+                                          compute_loss=True)
         metrics, nbest = eval_absa(self.dev_dataset.examples,
                                    self.dev_dataset.features, results,
                                    cfg.do_lower_case)
         f1 = metrics["f1"]
-        logger.info("epoch %d dev f1 %.4f p %.4f r %.4f", epoch, f1,
-                    metrics["p"], metrics["r"])
+        logger.info("epoch %d dev f1 %.4f loss %.4f p %.4f r %.4f", epoch,
+                    f1, dev_loss, metrics["p"], metrics["r"])
         if self.writer:
             self.writer.add_scalar("dev_f1", f1, epoch)
+            self.writer.add_scalar("dev_loss", dev_loss, epoch)
         if f1 >= self.best_dev_metric:
             self.best_dev_metric = f1
             self.best_dev_epoch = epoch
@@ -466,14 +495,16 @@ class SpanTrainer:
                 self.state = replace_params(
                     self.state, load_best(best, export_params(self.state)))
                 self._shard_state()
-        results = self._predict(self.test_dataset)
+        results, test_loss = self._predict(self.test_dataset,
+                                           compute_loss=True)
         metrics, nbest = eval_absa(self.test_dataset.examples,
                                    self.test_dataset.features, results,
                                    cfg.do_lower_case)
-        logger.info("test f1 %.4f p %.4f r %.4f", metrics["f1"], metrics["p"],
-                    metrics["r"])
+        logger.info("test f1 %.4f loss %.4f p %.4f r %.4f", metrics["f1"],
+                    test_loss, metrics["p"], metrics["r"])
         if self.writer:
             self.writer.add_scalar("test_f1", metrics["f1"])
+            self.writer.add_scalar("test_loss", test_loss)
         if cfg.save_path:
             self._write_json(nbest, "test_predictions.json")
         if metrics["f1"] >= self.best_test_metric:

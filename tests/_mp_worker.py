@@ -93,10 +93,15 @@ def main(coordinator: str, num_processes: int, process_id: int,
         trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
                              dev_dataset=ds, test_dataset=ds)
     else:
+        # permissive logit_threshold: eval-branch candidates survive the
+        # filters, so the cross-process dev_loss comparison binds real
+        # values (at the default 8.0 a near-init model's batches have zero
+        # candidates and the reference-exact ac-loss is NaN on both sides)
         cfg = Config(dataset_name="twitter15", max_seq=32,
                      train_batch_size=8, eval_batch_size=8, num_epochs=1,
                      eval_begin_epoch=99, n_best_size=8, max_answer_length=4,
-                     bf16=False, lr=1e-3, mesh_data=4, seed=13)
+                     bf16=False, lr=1e-3, mesh_data=4, seed=13,
+                     logit_threshold=-50.0)
         bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
         ds = SpanDataset.load(cfg, tokenizer,
                               os.path.join(data_dir, "train_span.txt"))
@@ -154,9 +159,9 @@ def main(coordinator: str, num_processes: int, process_id: int,
     if pipeline.startswith("crf"):
         y_true, y_pred, dev_loss = trainer._predict(trainer.dev_dataset)
     else:
-        results = trainer._predict(trainer.dev_dataset)
+        results, dev_loss = trainer._predict(trainer.dev_dataset,
+                                             compute_loss=True)
         y_pred = [list(map(int, r.cls_pred)) for r in results]
-        dev_loss = 0.0
     digest = float(sum(np.abs(np.asarray(x, np.float64)).sum()
                        for x in jax.tree.leaves(trainer.state.params)))
     first_leaf = np.asarray(jax.tree.leaves(trainer.state.params)[0])

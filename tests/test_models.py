@@ -180,3 +180,63 @@ class TestVisualGuides:
         main_g, aux_g = compute_visual_guides(params, imgs, aux, depth=18)
         assert main_g.shape == (2, 4, 960)
         assert aux_g.shape == (2, 3, 4, 960)
+
+
+class TestSpanEvalLossStep:
+    """The eval-loss step (extraction outputs + candidate pack through
+    span_model_tail) must equal the full span_model_loss forward with the
+    same candidates — the reference's logged dev/test loss is that full
+    forward (modules/train.py:197-199,295-305)."""
+
+    @pytest.mark.parametrize("use_probe", [False, True])
+    def test_matches_full_forward(self, use_probe):
+        from mtvaf_tpu.train.steps import (make_extraction_step,
+                                           make_span_eval_loss_step)
+        cfg = Config(dataset_name="twitter15", max_answer_length=4,
+                     n_best_size=6, bf16=False, use_probe=use_probe,
+                     num_epochs=3)
+        bert_cfg = BertConfig.tiny(num_hidden_layers=8)  # probe taps layer 7
+        params = init_span_model_params(jax.random.PRNGKey(3), cfg, bert_cfg)
+        batch = make_span_batch(bert_cfg, b=3, s=12, m=cfg.n_best_size,
+                                seed=4)
+        # eval-branch candidates differ from the gold ones in the batch
+        rng = np.random.RandomState(5)
+        ss = rng.randint(0, 9, (3, cfg.n_best_size)).astype(np.int32)
+        se = (ss + rng.randint(0, 3, ss.shape)).astype(np.int32)
+        labels = rng.randint(0, 4, ss.shape).astype(np.int32)
+        masks = rng.randint(0, 2, ss.shape).astype(np.int32)
+
+        with jax.default_matmul_precision("highest"):
+            full = span_model_loss(
+                params, cfg, bert_cfg,
+                dict(batch, span_starts=jnp.asarray(ss),
+                     span_ends=jnp.asarray(se),
+                     span_labels=jnp.asarray(labels),
+                     span_masks=jnp.asarray(masks)), rng=None)
+            s, e, seq, cap = make_extraction_step(cfg, bert_cfg)(params,
+                                                                 batch)
+            pack = jnp.asarray(np.stack([ss, se, labels, masks]), jnp.int32)
+            ac, loss = make_span_eval_loss_step(cfg, bert_cfg)(
+                params, batch, seq, s, e, cap, pack)
+        np.testing.assert_allclose(np.asarray(loss),
+                                   np.asarray(full["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ac),
+                                   np.asarray(full["ac_logits"]), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_zero_candidate_batch_nans_like_reference(self, tiny_cfgs):
+        """Reference quirk: ac_loss = sum(mask·mean_CE)/mask.sum()
+        (models/bert_model.py:302-303).  When the eval branch's filters
+        reject EVERY candidate in a batch the 0/0 propagates NaN into the
+        logged eval loss — torch does exactly this, so the logged loss must
+        too (the factor cancels to exactly 1.0 whenever any mask is set)."""
+        cfg, bert_cfg = tiny_cfgs
+        params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+        batch = make_span_batch(bert_cfg)
+        out = span_model_loss(params, cfg, bert_cfg,
+                              dict(batch, span_masks=jnp.zeros_like(
+                                  batch["span_masks"])), rng=None)
+        assert np.isnan(float(out["loss"]))
+        # ...and with any candidate unmasked the loss is finite
+        out2 = span_model_loss(params, cfg, bert_cfg, batch, rng=None)
+        assert np.isfinite(float(out2["loss"]))

@@ -351,11 +351,17 @@ def span_e2e(tmp_path_factory):
     vocab = os.path.join(d, "vocab.txt")
     make_vocab_file(vocab)
     tok = FullTokenizer(vocab)
+    # logit_threshold low enough that eval-branch candidates actually
+    # survive the filters: at the default 8.0 a near-init model's batches
+    # have zero unmasked candidates, the reference's ac-loss 0/0 makes the
+    # logged dev loss NaN (quirk pinned in TestSpanEvalLossStep), and the
+    # dev-loss trajectory comparison would only compare NaNs.
     cfg = Config(dataset_name="twitter15", max_seq=32,
                  train_batch_size=BATCH, eval_batch_size=BATCH,
                  num_epochs=EPOCHS, eval_begin_epoch=1, lr=LR,
                  warmup_ratio=WARMUP, bf16=False, deterministic=True,
                  optimizer_mu_bf16=False, max_answer_length=4,
+                 logit_threshold=-50.0,
                  save_path=os.path.join(d, "ours"))
     datasets = {}
     for split, (n, seed) in {"train": (N_TRAIN, 0), "dev": (N_EVAL, 1),
@@ -474,6 +480,20 @@ def test_span_dev_trajectory_and_best_selection(span_e2e):
 def test_span_test_with_best_reload(span_e2e):
     assert round(float(span_e2e["ref_test_f1"]), 4) == round(
         span_e2e["final_test_f1"], 4)
+
+
+def test_span_dev_and_test_loss_trajectories(span_e2e):
+    """The reference's span eval loop logs the full-forward loss on the
+    eval-branch candidates per epoch (modules/train.py:197-199,227-229) and
+    at test time (:301-305); the eval-loss step must reproduce both
+    trajectories (PARITY deviation #13 closed)."""
+    ref_dev = span_e2e["ref_writer"].scalars["dev_loss"]
+    our_dev = span_e2e["our_writer"].scalars["dev_loss"]
+    assert len(ref_dev) == len(our_dev) == EPOCHS
+    np.testing.assert_allclose(our_dev, ref_dev, rtol=2e-4)
+    np.testing.assert_allclose(span_e2e["our_writer"].scalars["test_loss"],
+                               span_e2e["ref_writer"].scalars["test_loss"],
+                               rtol=2e-4)
 
 
 def test_span_prediction_artifacts(span_e2e):
