@@ -12,6 +12,14 @@ Batching policy (the standard latency/throughput knobs):
 
 * ``max_batch``   — coalesce at most this many requests per device call
                     (the predictor's compiled batch shape; tail is padded).
+* ``batch_shapes`` — optional LADDER of compiled batch shapes (ascending;
+                    default ``(max_batch,)``).  Each take of n requests
+                    runs at the smallest rung >= n, so idle singles pay a
+                    b1 program (~1/3 the b16 latency on the tunneled
+                    backend) while saturation runs the top rung — the
+                    queue depth at coalesce time picks the shape.  Every
+                    rung is one fixed XLA program; call :meth:`warmup`
+                    before taking traffic so no rung compiles mid-serving.
 * ``max_wait_ms`` — a partially-filled batch launches after this long; a
                     full batch launches immediately.
 * ``pipeline_depth`` — up to this many batches in flight on the device
@@ -19,10 +27,10 @@ Batching policy (the standard latency/throughput knobs):
                     hide behind the next batches' compute — essential on
                     tunneled backends where each fetch is a ~25-40 ms RPC).
 
-Under load the server converges to full, pipelined batches (the
+Under load the server converges to full, pipelined top-rung batches (the
 throughput of ``predict_many``); idle single requests pay at most
-``max_wait_ms`` + one device call.  Latency percentiles are tracked per
-request.
+``max_wait_ms`` + one smallest-rung device call.  Latency percentiles are
+tracked per request.
 """
 
 from __future__ import annotations
