@@ -22,7 +22,7 @@ import tempfile
 import threading
 import time
 
-BATCH = 16
+BATCH_SHAPES = (1, 4, 16, 64)      # ladder: idle b1, saturated b64
 PIPELINE_DEPTH = 4
 MAX_WAIT_MS = 5.0
 REQUESTS_PER_CLIENT = 60
@@ -64,13 +64,12 @@ def main():
         def sentence(i):
             return pool[i % len(pool)]
 
-        predictor.predict([sentence(0)] * BATCH)        # compile once
-
         rows = []
         for k in CONCURRENCY:
-            server = BatchingServer(predictor, max_batch=BATCH,
-                                    max_wait_ms=MAX_WAIT_MS,
-                                    pipeline_depth=PIPELINE_DEPTH)
+            server = BatchingServer(predictor, max_wait_ms=MAX_WAIT_MS,
+                                    pipeline_depth=PIPELINE_DEPTH,
+                                    batch_shapes=BATCH_SHAPES)
+            server.warmup()         # compile every rung before the clock
             n_req = REQUESTS_PER_CLIENT * k
             errors = []
 
@@ -101,8 +100,9 @@ def main():
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SERVE.json"), "w") as f:
         json.dump({"config": "online BatchingServer, text CRF BERT-base "
-                             f"b{BATCH} s{cfg.max_seq}, pipeline depth "
-                             f"{PIPELINE_DEPTH}, max_wait {MAX_WAIT_MS} ms",
+                             f"shapes {list(BATCH_SHAPES)} s{cfg.max_seq}, "
+                             f"pipeline depth {PIPELINE_DEPTH}, max_wait "
+                             f"{MAX_WAIT_MS} ms, packed one-RPC dispatch",
                    "rows": rows}, f, indent=1)
     print(json.dumps({"metric": "online_serving_peak_sentences_per_sec",
                       "value": max(r["sentences_per_sec"] for r in rows),

@@ -112,9 +112,17 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8088)
     p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--batch_shapes", default=None,
+                   help="comma-separated ladder of compiled batch shapes "
+                        "(e.g. '1,4,16,64'): idle singles run the smallest "
+                        "rung's short program, a saturated queue fills the "
+                        "largest; default = one shape (--max_batch).  Each "
+                        "rung compiles once at startup")
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--pipeline_depth", type=int, default=4)
     args = p.parse_args(argv)
+    batch_shapes = [int(s) for s in args.batch_shapes.split(",")] \
+        if args.batch_shapes else None
 
     from http.server import ThreadingHTTPServer
 
@@ -128,12 +136,12 @@ def main(argv=None):
             "prefix run: POST base64 'images' aligned with 'sentences' for "
             "visual guides; requests without images run text-only (the "
             "first image-bearing batch compiles a second program)")
-    # compile the serving program before accepting traffic
-    predictor.predict(["warm up"] * args.max_batch)
-
     with BatchingServer(predictor, max_batch=args.max_batch,
                         max_wait_ms=args.max_wait_ms,
-                        pipeline_depth=args.pipeline_depth) as server:
+                        pipeline_depth=args.pipeline_depth,
+                        batch_shapes=batch_shapes) as server:
+        # compile every serving rung before accepting traffic
+        server.warmup()
         httpd = ThreadingHTTPServer((args.host, args.port),
                                     build_app(server))
         logger.info("serving on http://%s:%d (POST /predict, GET /stats)",

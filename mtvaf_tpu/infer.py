@@ -40,22 +40,51 @@ class _PredictorBase:
         self.tokenizer = tokenizer
         self.resnet_params = resnet_params
         self.attention_impl = attention_impl
+        self._packed_fns: Dict[tuple, object] = {}
         self._guide_fn = None
         if cfg.use_prefix and resnet_params is not None:
             self._guide_fn = jax.jit(
                 lambda imgs, aux: compute_visual_guides(
                     resnet_params, imgs, aux, depth=cfg.resnet_depth))
 
-    def _maybe_guides(self, batch: Dict, images, aux_images):
+    def _guides_extra(self, images, aux_images) -> Dict:
+        """Visual guides for a batch of preprocessed images, as a dict of
+        DEVICE arrays (empty for text-only batches / non-prefix models)."""
         if self._guide_fn is None or images is None:
-            return batch
+            return {}
         aux = aux_images if aux_images is not None else \
             np.zeros((images.shape[0], 3, 224, 224, 3), np.float32)
         mg, ag = self._guide_fn(jnp.asarray(images), jnp.asarray(aux))
-        batch = dict(batch)
-        batch["main_guides"] = mg
-        batch["aux_guides"] = ag
-        return batch
+        return {"main_guides": mg, "aux_guides": ag}
+
+    def _maybe_guides(self, batch: Dict, images, aux_images):
+        extra = self._guides_extra(images, aux_images)
+        return {**batch, **extra} if extra else batch
+
+    def _run_packed(self, name: str, program, host: Dict, extra: Dict):
+        """Run ``program(params, batch)`` with the host leaves shipped as
+        ONE packed uint8 buffer whose unpack is FUSED into the program.
+
+        On tunneled backends each host→device transfer is a ~25-40 ms RPC
+        (docs/DESIGN.md §8b); the per-leaf ``jnp.asarray`` path pays one per
+        tensor plus the dispatch.  Here the whole batch rides the single
+        jitted call (upload + unpack + compute in one dispatch).  Compiled
+        once per (program, batch layout, extra-arg structure); falls back to
+        per-leaf placement for layouts ``pack_host`` can't serialize."""
+        from .train.ingest import pack_host, unpack_program
+        packed = pack_host(host)
+        if packed is None:
+            batch = {k: jnp.asarray(v) for k, v in host.items()}
+            batch.update(extra)
+            return program(self.params, batch)
+        buf, segs = packed
+        key = (name, segs, tuple(sorted(extra)))
+        fn = self._packed_fns.get(key)
+        if fn is None:
+            unpack = unpack_program(segs)
+            fn = jax.jit(lambda p, b, ex: program(p, {**unpack(b), **ex}))
+            self._packed_fns[key] = fn
+        return fn(self.params, buf, extra)
 
 
 class CrfPredictor(_PredictorBase):
@@ -69,8 +98,10 @@ class CrfPredictor(_PredictorBase):
         self.inv_label_map = {i: l for l, i in self.label_map.items()}
         self.inv_label_map[0] = "PAD"
 
-    def _make_batch(self, sentences: Sequence[str], images, aux_images
-                    ) -> Dict:
+    def _make_host_batch(self, sentences: Sequence[str]) -> Dict:
+        """Tokenize to HOST numpy arrays (upload deferred to the packed
+        dispatch; the label/mask arrays are also what host decoding reads,
+        so they never round-trip through the device)."""
         examples = [
             MMInputExample(guid=str(i), text_a=s, img_id="", label=["O"] *
                            len(s.split()), auxlabel=["O"] * len(s.split()),
@@ -81,15 +112,20 @@ class CrfPredictor(_PredictorBase):
             self.cfg.effective_max_seq, self.tokenizer,
             is_roberta=self.cfg.is_roberta,
             num_anp_classes=self.cfg.num_anp_classes)
-        batch = {
-            "input_ids": jnp.asarray([f.input_ids for f in feats], jnp.int32),
-            "input_mask": jnp.asarray([f.input_mask for f in feats], jnp.int32),
-            "segment_ids": jnp.asarray([f.segment_ids for f in feats],
-                                       jnp.int32),
-            "label_ids": jnp.asarray([f.label_id for f in feats], jnp.int32),
-            "imagelabel": jnp.zeros((len(feats), self.cfg.num_anp_classes),
-                                    jnp.float32),
+        return {
+            "input_ids": np.asarray([f.input_ids for f in feats], np.int32),
+            "input_mask": np.asarray([f.input_mask for f in feats], np.int32),
+            "segment_ids": np.asarray([f.segment_ids for f in feats],
+                                      np.int32),
+            "label_ids": np.asarray([f.label_id for f in feats], np.int32),
+            "imagelabel": np.zeros((len(feats), self.cfg.num_anp_classes),
+                                   np.float32),
         }
+
+    def _make_batch(self, sentences: Sequence[str], images, aux_images
+                    ) -> Dict:
+        batch = {k: jnp.asarray(v)
+                 for k, v in self._make_host_batch(sentences).items()}
         return self._maybe_guides(batch, images, aux_images)
 
     def _to_results(self, sentences: Sequence[str], label_ids, input_mask,
@@ -108,22 +144,26 @@ class CrfPredictor(_PredictorBase):
 
     def dispatch(self, sentences: Sequence[str], images=None, aux_images=None):
         """Issue one batch's device work without blocking on the results:
-        tokenize + upload + enqueue the jitted decode.  Returns an opaque
+        tokenize, then ONE device call that carries the whole batch as a
+        packed buffer and runs the jitted decode (upload + unpack + compute
+        in one dispatch — 2 RPCs per batch total with the collect fetch,
+        down from 5 uploads + dispatch + 3-array fetch).  Returns an opaque
         handle for :meth:`collect`.  Lets callers (serve.BatchingServer,
         custom loops) keep several batches in flight — on latency-bound
         backends the per-batch host round-trip hides behind the next
         batches' compute (the predict_many pattern, exposed)."""
-        batch = self._make_batch(sentences, images, aux_images)
-        out = self._decode(self.params, batch)
-        return (list(sentences), batch, out)
+        host = self._make_host_batch(sentences)
+        out = self._run_packed("crf_decode", self._decode, host,
+                               self._guides_extra(images, aux_images))
+        return (list(sentences), host["label_ids"], host["input_mask"], out)
 
     def collect(self, handle) -> List[List[Tuple[str, str]]]:
-        """Block on one :meth:`dispatch` handle and decode its results."""
-        sentences, batch, out = handle
-        # one pooled fetch for all three arrays (a tunnel RPC each otherwise)
-        labels_np, mask_np, tags_np = jax.device_get(
-            (batch["label_ids"], batch["input_mask"], out["pred_tags"]))
-        return self._to_results(sentences, labels_np, mask_np, tags_np)
+        """Block on one :meth:`dispatch` handle and decode its results.
+        Only ``pred_tags`` crosses the link — labels/mask stayed on the
+        host in the handle."""
+        sentences, labels_np, mask_np, out = handle
+        return self._to_results(sentences, labels_np, mask_np,
+                                np.asarray(out["pred_tags"]))
 
     def predict(self, sentences: Sequence[str], images=None, aux_images=None,
                 ) -> List[List[Tuple[str, str]]]:
@@ -172,7 +212,7 @@ class SpanPredictor(_PredictorBase):
                                              self.attention_impl)
         self._classify = make_classification_step(self.cfg, self.bert_cfg)
 
-    def _make_batch(self, sentences: Sequence[str], images, aux_images):
+    def _make_host_batch(self, sentences: Sequence[str]):
         cfg = self.cfg
         examples = [
             SemEvalExample(example_id=str(i), sent_tokens=s.split(),
@@ -182,12 +222,17 @@ class SpanPredictor(_PredictorBase):
         feats = convert_examples_to_features(
             examples, self.tokenizer, cfg.effective_max_seq,
             is_roberta=cfg.is_roberta, max_term_num=1)
-        batch = {
-            "input_ids": jnp.asarray([f.input_ids for f in feats], jnp.int32),
-            "input_mask": jnp.asarray([f.input_mask for f in feats], jnp.int32),
-            "segment_ids": jnp.asarray([f.segment_ids for f in feats],
-                                       jnp.int32),
+        host = {
+            "input_ids": np.asarray([f.input_ids for f in feats], np.int32),
+            "input_mask": np.asarray([f.input_mask for f in feats], np.int32),
+            "segment_ids": np.asarray([f.segment_ids for f in feats],
+                                      np.int32),
         }
+        return examples, feats, host
+
+    def _make_batch(self, sentences: Sequence[str], images, aux_images):
+        examples, feats, host = self._make_host_batch(sentences)
+        batch = {k: jnp.asarray(v) for k, v in host.items()}
         return examples, feats, self._maybe_guides(batch, images, aux_images)
 
     def _candidates(self, examples, feats, s_np, e_np):
@@ -234,9 +279,10 @@ class SpanPredictor(_PredictorBase):
         0``); without them the eval classification skips the DiGCN
         re-encode (matching the trainers when the GCN side file is
         absent)."""
-        examples, feats, batch = self._make_batch(sentences, images,
-                                                  aux_images)
-        s_logits, e_logits, seq, _ = self._extract(self.params, batch)
+        examples, feats, host = self._make_host_batch(sentences)
+        s_logits, e_logits, seq, _ = self._run_packed(
+            "span_extract", self._extract, host,
+            self._guides_extra(images, aux_images))
         if gcn is not None:
             gcn = tuple(None if g is None else jnp.asarray(g) for g in gcn)
         return (examples, feats, s_logits, e_logits, seq, gcn)
@@ -245,7 +291,8 @@ class SpanPredictor(_PredictorBase):
         """Block on one :meth:`dispatch` handle: fetch logits, pick span
         candidates on the host, classify, decode."""
         examples, feats, s_logits, e_logits, seq, gcn = handle
-        s_np, e_np = np.asarray(s_logits), np.asarray(e_logits)
+        # one pooled fetch for both logit arrays (a tunnel RPC each otherwise)
+        s_np, e_np = jax.device_get((s_logits, e_logits))
         all_ss, all_se, all_masks = self._candidates(examples, feats,
                                                      s_np, e_np)
         pairs = jnp.asarray(np.stack([all_ss, all_se]), jnp.int32)
@@ -314,8 +361,9 @@ class SpanPredictor(_PredictorBase):
                 chunk = list(sentences[i:i + batch_size])
                 n = len(chunk)
                 chunk += [chunk[-1]] * (batch_size - n)
-                examples, feats, batch = self._make_batch(chunk, None, None)
-                s_logits, e_logits, seq, _ = self._extract(self.params, batch)
+                examples, feats, host = self._make_host_batch(chunk)
+                s_logits, e_logits, seq, _ = self._run_packed(
+                    "span_extract", self._extract, host, {})
                 pending_ext.append(
                     (n, examples, feats,
                      fetcher.submit(np.asarray,

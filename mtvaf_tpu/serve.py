@@ -57,13 +57,20 @@ class BatchingServer:
     """
 
     def __init__(self, predictor, *, max_batch: int = 16,
-                 max_wait_ms: float = 5.0, pipeline_depth: int = 4):
+                 max_wait_ms: float = 5.0, pipeline_depth: int = 4,
+                 batch_shapes: Optional[Sequence[int]] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be >= 1")
         self._predictor = predictor
-        self._max_batch = int(max_batch)
+        # the rung ladder: each take of n requests runs at the smallest
+        # compiled shape >= n; a bare max_batch is a one-rung ladder
+        self._shapes = tuple(sorted({int(s) for s in batch_shapes})) \
+            if batch_shapes else (int(max_batch),)
+        if self._shapes[0] < 1:
+            raise ValueError("batch_shapes must be >= 1")
+        self._max_batch = self._shapes[-1]
         self._max_wait_s = float(max_wait_ms) / 1e3
         # Keep up to pipeline_depth batches in flight on the device: the
         # worker issues predictor.dispatch() and hands the blocking
@@ -102,6 +109,14 @@ class BatchingServer:
     def predict(self, sentence: str, image=None):
         """Synchronous convenience wrapper around :meth:`submit`."""
         return self.submit(sentence, image).result()
+
+    def warmup(self) -> None:
+        """Compile every ladder rung before taking traffic (each rung is one
+        fixed XLA program; a cache-miss compile mid-serving would stall the
+        queue for its full compile time — minutes on remote-compile
+        backends)."""
+        for rung in self._shapes:
+            self._predictor.predict(["warm up"] * rung)
 
     def stats(self) -> Dict[str, float]:
         """Served-request count plus latency percentiles (ms) and batch
@@ -196,18 +211,20 @@ class BatchingServer:
                         inflight.popleft().result()
                     return
                 n = len(b)
-                # Pad to the full compiled batch shape: the device must
-                # only ever see ONE program at ONE batch size (a partial
-                # batch at a new size would trigger a fresh XLA compile
-                # mid-serving).
+                # Pad to the smallest ladder rung that fits: the device
+                # must only ever see the compiled programs (a partial batch
+                # at a new size would trigger a fresh XLA compile
+                # mid-serving).  Idle singles ride the bottom rung's short
+                # program; a saturated queue fills the top rung.
+                rung = next(s for s in self._shapes if s >= n)
                 sentences = [s for s, _, _ in b]
-                sentences += [sentences[-1]] * (self._max_batch - n)
+                sentences += [sentences[-1]] * (rung - n)
                 images = None
                 if any(img is not None for _, img, _ in b):
                     blank = np.zeros((224, 224, 3), np.float32)
                     images = np.stack([blank if img is None else img
                                        for _, img, _ in b]
-                                      + [blank] * (self._max_batch - n))
+                                      + [blank] * (rung - n))
                 if self._pipeline_depth > 1:
                     try:
                         handle = self._predictor.dispatch(sentences,

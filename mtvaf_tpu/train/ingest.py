@@ -54,6 +54,56 @@ def _width_types() -> Dict[int, object]:
 _UNPACK_CACHE: Dict[tuple, object] = {}
 
 
+def pack_host(host: Dict):
+    """Serialize a host batch into ONE flat uint8 buffer + its layout key.
+
+    Returns ``(buffer, segs)`` where ``segs`` is a hashable per-leaf layout
+    ``(name, dtype_str, shape, offset, nbytes)`` tuple, or ``None`` when a
+    leaf is unpackable (exotic dtype, scalar).  Pure host-side: pair with
+    :func:`unpack_program` to fuse the unpack INTO a larger jitted program,
+    so the buffer upload rides that program's dispatch — the serving path's
+    one-RPC batch placement (serve.py / infer.py), vs one transfer per leaf.
+    """
+    widths = _width_types()
+    if any(v.dtype.itemsize not in widths or v.dtype.kind not in "fiub"
+           or v.ndim == 0
+           for v in map(np.asarray, host.values())):
+        return None
+    segs, bufs, off = [], [], 0
+    for k, v in host.items():
+        buf = np.ascontiguousarray(v).view(np.uint8).reshape(-1)
+        bufs.append(buf)
+        segs.append((k, np.asarray(v).dtype.str, np.asarray(v).shape, off,
+                     buf.nbytes))
+        off += buf.nbytes
+    return (np.concatenate(bufs) if len(bufs) > 1 else bufs[0]), tuple(segs)
+
+
+def unpack_program(segs):
+    """UNJITTED unpack for one :func:`pack_host` layout: flat uint8 buffer →
+    leaf dict.  Call it inside your own ``jax.jit`` so the unpack fuses with
+    the consuming program (static slice + bitcast + reshape per leaf)."""
+    widths = _width_types()
+
+    def unpack_fn(big):
+        return {k: _unpack_leaf(big[o:o + n], np.dtype(dt), (),
+                                widths).reshape(shape)
+                for k, dt, shape, o, n in segs}
+
+    return unpack_fn
+
+
+def _unpack_leaf(seg, dtype, lead, widths):
+    """uint8 byte segment → ``dtype`` leaf (device-side bitcast, no copy)."""
+    if dtype.itemsize > 1:
+        seg = jax.lax.bitcast_convert_type(
+            seg.reshape(lead + (-1, dtype.itemsize)), widths[dtype.itemsize])
+    if seg.dtype != dtype:
+        seg = jax.lax.bitcast_convert_type(seg, dtype) \
+            if dtype.kind in "fiu" else seg.astype(dtype)
+    return seg
+
+
 def _fallback_put(host: Dict, mesh: Optional[Mesh], batch_dim: int) -> Dict:
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in host.items()}
@@ -148,29 +198,19 @@ def _build_unpack(segs, mesh, batch_dim, shards, widths):
     shard dim intact through every reshape so XLA lowers it with zero
     collectives, emitting each leaf sharded at ``batch_dim``."""
 
-    def unpack_leaf(seg, dt, lead):
-        dtype = np.dtype(dt)
-        if dtype.itemsize > 1:
-            seg = jax.lax.bitcast_convert_type(
-                seg.reshape(lead + (-1, dtype.itemsize)),
-                widths[dtype.itemsize])
-        if seg.dtype != dtype:
-            seg = jax.lax.bitcast_convert_type(seg, dtype) \
-                if dtype.kind in "fiu" else seg.astype(dtype)
-        return seg
-
     if mesh is None:
         def unpack_fn(big):
             res = {}
             for k, dt, shape, o, n in segs:
-                res[k] = unpack_leaf(big[o:o + n], dt, ()).reshape(shape)
+                res[k] = _unpack_leaf(big[o:o + n], np.dtype(dt), (),
+                                      widths).reshape(shape)
             return res
         return jax.jit(unpack_fn)
 
     def unpack_fn(big):    # (shards, bytes_per_shard)
         res = {}
         for k, dt, shape, o, n in segs:
-            x = unpack_leaf(big[:, o:o + n], dt, (shards,))
+            x = _unpack_leaf(big[:, o:o + n], np.dtype(dt), (shards,), widths)
             pre = (shape[:batch_dim] + (shape[batch_dim] // shards,)
                    + shape[batch_dim + 1:])
             x = x.reshape((shards,) + pre)

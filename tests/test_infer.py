@@ -122,3 +122,58 @@ def test_span_predictor_with_digcn(tokenizer):
     # accept both shapes without retracing errors
     out_many = pred.predict_many(sents * 3, batch_size=2, window=1)
     assert len(out_many) == 6
+
+
+def test_packed_dispatch_matches_per_leaf_placement(tokenizer):
+    """The one-RPC packed dispatch (pack_host buffer + fused unpack) must be
+    a transport change only: identical tags/results to running the decode on
+    per-leaf jnp.asarray placement."""
+    import jax.numpy as jnp
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    pred = CrfPredictor(cfg, bert_cfg, params, tokenizer)
+    sents = ["the pizza was great but service slow", "bad battery",
+             "nice view from the room"]
+
+    got = pred.predict(sents)                       # packed path
+    assert pred._packed_fns, "packed program was not used"
+
+    host = pred._make_host_batch(sents)
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+    out = pred._decode(pred.params, batch)          # per-leaf path
+    want = pred._to_results(sents, host["label_ids"], host["input_mask"],
+                            np.asarray(out["pred_tags"]))
+    assert got == want
+
+
+def test_pack_host_round_trip():
+    """pack_host + unpack_program reproduce every leaf bit-for-bit."""
+    import jax.numpy as jnp
+
+    from mtvaf_tpu.train.ingest import pack_host, unpack_program
+
+    rng = np.random.RandomState(0)
+    host = {
+        "ids": rng.randint(0, 1000, (4, 7)).astype(np.int32),
+        "mask": rng.randint(0, 2, (4, 7)).astype(np.int8),
+        "f32": rng.randn(4, 3, 2).astype(np.float32),
+        "b": (rng.rand(4) > 0.5),
+    }
+    packed = pack_host(host)
+    assert packed is not None
+    buf, segs = packed
+    assert buf.dtype == np.uint8
+    got = jax.jit(unpack_program(segs))(buf)
+    assert set(got) == set(host)
+    for k in host:
+        assert got[k].dtype == np.asarray(host[k]).dtype
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(host[k]))
+
+    # unpackable layouts signal None instead of corrupting: scalar leaves,
+    # and ml_dtypes kinds like bfloat16 ('V' — np.dtype(str) would not
+    # round-trip the raw bits, same rule as pack_and_put)
+    assert pack_host({"x": np.float32(3.0)}) is None
+    assert pack_host({"x": np.zeros((2, 2), jnp.bfloat16)}) is None

@@ -168,3 +168,28 @@ def test_pipelined_results_and_depth_bound():
     assert fake._max_inflight <= 3
     # with slow collects and a fast queue, the pipeline actually filled
     assert fake._max_inflight >= 2
+
+
+def test_batch_shape_ladder_picks_smallest_rung():
+    """Each take runs at the smallest compiled rung >= its size; the device
+    only ever sees ladder shapes."""
+    fake = _RecordingPredictor(delay_s=0.02)
+    with BatchingServer(fake, max_wait_ms=2.0,
+                        batch_shapes=(2, 4, 8)) as server:
+        # a lone request must ride the bottom rung, not the top
+        assert server.predict("solo") == [("solo", "POS")]
+        assert fake.calls[0] == 2
+        # a burst coalesces into top-rung batches
+        futs = [server.submit(f"s{i}") for i in range(24)]
+        results = [f.result(timeout=30) for f in futs]
+    for i, res in enumerate(results):
+        assert res == [(f"s{i}", "POS")]
+    assert set(fake.calls) <= {2, 4, 8}
+    assert max(fake.calls) == 8          # saturation reached the top rung
+
+
+def test_warmup_compiles_every_rung():
+    fake = _RecordingPredictor()
+    with BatchingServer(fake, batch_shapes=(1, 4, 16)) as server:
+        server.warmup()
+    assert fake.calls == [1, 4, 16]
