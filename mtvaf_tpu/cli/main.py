@@ -220,20 +220,31 @@ def main(argv=None, bert_cfg_override: Optional[BertConfig] = None):
                 params=load_best(cfg.load_path, trainer.state.params))
             trainer._shard_state()
 
+    metrics = {}
     if cfg.do_train:
-        trainer.train()
+        metrics["best_dev_f1"] = float(trainer.train())
         if cfg.is_span_pipeline:
-            trainer.test()
+            metrics["test_f1"] = float(trainer.test())
         else:
-            trainer.test(cfg.num_epochs, load_best_model=True)
+            metrics["test_f1"] = float(
+                trainer.test(cfg.num_epochs, load_best_model=True))
     if cfg.only_test:
         if cfg.is_span_pipeline:
-            trainer.test()
+            metrics["test_f1"] = float(trainer.test())
         else:
-            trainer.test(cfg.num_epochs, load_best_model=True)
+            metrics["test_f1"] = float(
+                trainer.test(cfg.num_epochs, load_best_model=True))
+    # machine-readable run summary (consumed by mtvaf-parity; the reference
+    # only exposes these through its log text)
+    if metrics and cfg.save_path and jax.process_index() == 0:
+        import json as _json
+        with open(os.path.join(cfg.save_path, "final_metrics.json"),
+                  "w") as f:
+            _json.dump(metrics, f, indent=1)
 
     if writer:
         writer.close()
+    return metrics
 
 
 if __name__ == "__main__":

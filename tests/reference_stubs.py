@@ -39,74 +39,8 @@ def reference_available() -> bool:
 # this stub only needs to agree with our crf_loss, which those tests pin.
 
 
-class _StubCRF(nn.Module):
-    def __init__(self, num_tags, batch_first=False):
-        super().__init__()
-        self.num_tags = num_tags
-        self.batch_first = batch_first
-        self.start_transitions = nn.Parameter(torch.empty(num_tags))
-        self.end_transitions = nn.Parameter(torch.empty(num_tags))
-        self.transitions = nn.Parameter(torch.empty(num_tags, num_tags))
-        for p in (self.start_transitions, self.end_transitions,
-                  self.transitions):
-            nn.init.uniform_(p, -0.1, 0.1)
-
-    def forward(self, emissions, tags, mask=None, reduction="sum"):
-        assert self.batch_first
-        b, s, _ = emissions.shape
-        if mask is None:
-            mask = torch.ones(b, s, dtype=torch.bool)
-        mask = mask.bool()
-        maskf = mask.float()
-        # numerator: score of the gold path
-        num = self.start_transitions[tags[:, 0]] + emissions[
-            torch.arange(b), 0, tags[:, 0]]
-        for t in range(1, s):
-            step = (self.transitions[tags[:, t - 1], tags[:, t]]
-                    + emissions[torch.arange(b), t, tags[:, t]])
-            num = num + step * maskf[:, t]
-        lengths = mask.long().sum(1)
-        last_tags = tags[torch.arange(b), lengths - 1]
-        num = num + self.end_transitions[last_tags]
-        # denominator: log partition
-        alpha = self.start_transitions[None, :] + emissions[:, 0]
-        for t in range(1, s):
-            inner = (alpha[:, :, None] + self.transitions[None]
-                     + emissions[:, t][:, None, :])
-            new_alpha = torch.logsumexp(inner, dim=1)
-            alpha = torch.where(mask[:, t][:, None], new_alpha, alpha)
-        denom = torch.logsumexp(alpha + self.end_transitions[None, :], dim=1)
-        llh = num - denom
-        if reduction == "mean":
-            return llh.mean()
-        if reduction == "sum":
-            return llh.sum()
-        return llh
-
-    def decode(self, emissions, mask=None):
-        b, s, n = emissions.shape
-        if mask is None:
-            mask = torch.ones(b, s, dtype=torch.bool)
-        mask = mask.bool()
-        out = []
-        for i in range(b):
-            L = int(mask[i].long().sum())
-            e = emissions[i, :L]
-            score = self.start_transitions + e[0]
-            back = []
-            for t in range(1, L):
-                cand = score[:, None] + self.transitions
-                best = cand.max(dim=0)
-                back.append(best.indices)
-                score = best.values + e[t]
-            score = score + self.end_transitions
-            tag = int(score.argmax())
-            path = [tag]
-            for bp in reversed(back):
-                tag = int(bp[tag])
-                path.append(tag)
-            out.append(list(reversed(path)))
-        return out
+# (implementation shared with the parity harness; one copy only)
+from mtvaf_tpu.parity.torchstubs import StubCRF as _StubCRF  # noqa: E402
 
 
 def _stub_module(name):
