@@ -372,6 +372,17 @@ class CrfTrainer:
             for batch in batches:
                 valid = batch.pop("batch_valid")
                 dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
+                n = int(np.asarray(valid).sum())
+                if n < len(valid):
+                    # tail batch: slice off the padding rows (device-side,
+                    # AFTER the packed/sharded placement) so the logged loss
+                    # is over exactly the rows the reference's smaller last
+                    # DataLoader batch sees — one extra compile at the tail
+                    # shape, once per run; padding sits at the tail
+                    # (datasets.iterate_batches)
+                    dev_batch = {k: v[:n] for k, v in dev_batch.items()}
+                    batch = {k: v[:n] for k, v in batch.items()}
+                    valid = valid[:n]
                 out = self.decode_step(eval_params, dev_batch)
                 records.append((batch, valid, fetcher.submit(
                     jax.device_get, (out["loss"], out["pred_tags"]))))

@@ -38,6 +38,12 @@ from .steps import (create_train_state, export_params,
 
 logger = logging.getLogger(__name__)
 
+# batch keys nn.models.span_model_tail reads — the eval-loss pipeline
+# retains only these per in-flight batch (see _predict)
+_TAIL_BATCH_KEYS = ("start_positions", "end_positions", "adjacency_matrix",
+                    "valid_ids", "adj_matrix", "src_mask", "aspect_mask",
+                    "polaritys")
+
 
 class SpanTrainer:
     def __init__(self, cfg: Config, bert_cfg: BertConfig, params, *,
@@ -361,9 +367,11 @@ class SpanTrainer:
         reference's logged eval loss — the full-forward loss on the
         eval-branch candidates (modules/train.py:197-199, 295-305) — and
         the return value becomes ``(results, mean_batch_loss)``.  Like the
-        reference, the logged loss is a mean of per-batch means (the padded
-        tail batch weighs its padding rows; logging only — F1/predictions
-        always drop padding rows).
+        reference, the logged loss is a mean of per-batch means; a padded
+        tail batch is SLICED to its valid rows first (one extra compile at
+        the tail shape), so on eval sets not divisible by eval_batch_size
+        the trajectory still matches the reference's smaller last
+        DataLoader batch exactly.
 
         The device→host seam is pipelined TWO stages deep: extractions for
         the next batches are dispatched (window deep) while the host runs
@@ -396,11 +404,24 @@ class SpanTrainer:
                     dataset.examples, dataset.features,
                     batch["example_index"], se_np[0], se_np[1], cfg)
                 if compute_loss:
-                    pack = jnp.asarray(np.stack([ss, se, labels, masks]),
-                                       jnp.int32)
+                    pack = np.stack([ss, se, labels, masks])
+                    n = int(np.asarray(valid).sum())
+                    loss_batch, ext_t = dev_batch, ext
+                    if n < len(valid):
+                        # tail batch: drop the padding rows so the logged
+                        # loss is over exactly the rows the reference's
+                        # smaller last DataLoader batch sees (one extra
+                        # compile at the tail shape, once per run)
+                        loss_batch = {k: v[:n] for k, v in dev_batch.items()}
+                        ext_t = tuple(None if t is None else t[:n]
+                                      for t in ext)
+                        pack = pack[:, :n]
+                    # padding rows sit at the TAIL (datasets.iterate_batches
+                    # valid_mask), so the sliced ac_logits still covers
+                    # every valid row finish_one will read
                     ac_logits, loss = self.eval_loss_step(
-                        eval_params, dev_batch, ext[2], ext[0], ext[1],
-                        ext[3], pack)
+                        eval_params, loss_batch, ext_t[2], ext_t[0],
+                        ext_t[1], ext_t[3], jnp.asarray(pack, jnp.int32))
                     fut = fetcher.submit(jax.device_get, (ac_logits, loss))
                 elif gcn is not None:
                     # DiGCN eval: re-encode before the span gather
@@ -446,12 +467,17 @@ class SpanTrainer:
                     # adjacency as "skip the re-encode", like the train path
                     gcn = (dev_batch.get("valid_ids"),
                            dev_batch.get("adjacency_matrix"))
+                # retain only the keys span_model_tail reads — holding the
+                # full dev_batch (incl. visual guides) for `window` in-flight
+                # batches would raise the eval HBM watermark for nothing
+                loss_batch = {k: v for k, v in dev_batch.items()
+                              if k in _TAIL_BATCH_KEYS} if compute_loss \
+                    else None
                 pending_ext.append(
                     (batch, valid,
                      fetcher.submit(np.asarray,
                                     jnp.stack([s_logits, e_logits])),
-                     (s_logits, e_logits, seq, captured), gcn,
-                     dev_batch if compute_loss else None))
+                     (s_logits, e_logits, seq, captured), gcn, loss_batch))
                 if len(pending_ext) > window:
                     harvest_one()
                 while len(pending_cls) > window:

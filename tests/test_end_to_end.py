@@ -154,3 +154,78 @@ def test_pack_and_put_roundtrip():
             continue
         assert got.dtype == v.dtype and got.shape == v.shape, k
         np.testing.assert_array_equal(got, v, err_msg=k)
+
+
+def test_span_eval_loss_non_divisible_matches_unpadded(tmp_path, tokenizer):
+    """Logged dev/test loss on an eval set NOT divisible by eval_batch_size
+    must follow the reference semantics exactly: a mean of per-batch means
+    where the tail batch is its true (smaller) size — the padded duplicate
+    rows must not enter the loss (the reference's last DataLoader batch is
+    smaller, modules/train.py:197-199)."""
+    import jax.numpy as jnp
+
+    from mtvaf_tpu.data.datasets import iterate_batches
+    from mtvaf_tpu.eval.span_decode import batch_eval_candidates
+
+    train_f = tmp_path / "train.txt"
+    make_span_file(str(train_f), 10, seed=3)          # 10 % 4 != 0
+    cfg = Config(dataset_name="twitter15", max_seq=32, train_batch_size=4,
+                 eval_batch_size=4, num_epochs=1, eval_begin_epoch=99,
+                 n_best_size=8, max_answer_length=4, bf16=False,
+                 logit_threshold=-100.0, lr=1e-3)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = SpanDataset.load(cfg, tokenizer, str(train_f))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                          dev_dataset=ds, test_dataset=ds)
+
+    _, got_loss = trainer._predict(ds, compute_loss=True)
+
+    # expected: per-batch losses computed on the exact (unpadded) slices
+    eval_params = trainer._eval_params()
+    losses = []
+    for batch in iterate_batches(ds.arrays, cfg.eval_batch_size):
+        n = int(batch.pop("batch_valid").sum())
+        batch = {k: v[:n] for k, v in batch.items()}
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        s, e, seq, cap = trainer.extraction_step(eval_params, dev)
+        ss, se, labels, masks = batch_eval_candidates(
+            ds.examples, ds.features, batch["example_index"],
+            np.asarray(s), np.asarray(e), cfg)
+        pack = jnp.asarray(np.stack([ss, se, labels, masks]), jnp.int32)
+        _, loss = trainer.eval_loss_step(eval_params, dev, seq, s, e, cap,
+                                         pack)
+        losses.append(float(loss))
+    assert len(losses) == 3          # 4 + 4 + 2
+    assert got_loss == pytest.approx(sum(losses) / len(losses), rel=1e-5)
+
+
+def test_crf_eval_loss_non_divisible_matches_unpadded(tmp_path, tokenizer):
+    """CRF-pipeline twin of the span test above: the logged eval loss on a
+    non-divisible eval set slices the padded tail batch to its true rows
+    (reference SATrainer2 dev loss, modules/train.py:227-229)."""
+    import jax.numpy as jnp
+
+    from mtvaf_tpu.data.datasets import iterate_batches
+
+    tsv, anp = tmp_path / "t.txt", tmp_path / "a.json"
+    make_crf_files(str(tsv), str(anp), 10, seed=5, num_anp=8)   # 10 % 4 != 0
+    cfg = Config(dataset_name="twitter2015", max_seq=32, train_batch_size=4,
+                 eval_batch_size=4, num_epochs=1, eval_begin_epoch=99,
+                 bf16=False, num_anp_classes=8, lr=1e-3)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    ds = CrfDataset.load(cfg, tokenizer, str(tsv), str(anp))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    trainer = CrfTrainer(cfg, bert_cfg, params, train_dataset=ds,
+                         dev_dataset=ds, test_dataset=ds)
+
+    _, _, got_loss = trainer._predict(ds)
+
+    eval_params = trainer._eval_params()
+    losses = []
+    for batch in iterate_batches(ds.arrays, cfg.eval_batch_size):
+        n = int(batch.pop("batch_valid").sum())
+        dev = {k: jnp.asarray(v[:n]) for k, v in batch.items()}
+        losses.append(float(trainer.decode_step(eval_params, dev)["loss"]))
+    assert len(losses) == 3
+    assert got_loss == pytest.approx(sum(losses) / len(losses), rel=1e-5)

@@ -188,17 +188,33 @@ class TestSpanEvalLossStep:
     same candidates — the reference's logged dev/test loss is that full
     forward (modules/train.py:197-199,295-305)."""
 
-    @pytest.mark.parametrize("use_probe", [False, True])
-    def test_matches_full_forward(self, use_probe):
+    @pytest.mark.parametrize("head", ["base", "probe", "digcn", "dualgcn"])
+    def test_matches_full_forward(self, head):
         from mtvaf_tpu.train.steps import (make_extraction_step,
                                            make_span_eval_loss_step)
         cfg = Config(dataset_name="twitter15", max_answer_length=4,
-                     n_best_size=6, bf16=False, use_probe=use_probe,
+                     n_best_size=6, bf16=False, use_probe=head == "probe",
+                     gcn_layer_number=1 if head == "digcn" else 0,
+                     num_layers=1 if head == "dualgcn" else 0,
                      num_epochs=3)
         bert_cfg = BertConfig.tiny(num_hidden_layers=8)  # probe taps layer 7
         params = init_span_model_params(jax.random.PRNGKey(3), cfg, bert_cfg)
         batch = make_span_batch(bert_cfg, b=3, s=12, m=cfg.n_best_size,
                                 seed=4)
+        grng = np.random.RandomState(6)
+        if head == "digcn":
+            # DiGCN eval re-encode path: valid-ids compression + adjacency
+            batch = dict(batch, valid_ids=jnp.asarray(
+                grng.randint(0, 2, (3, 12)), jnp.int32),
+                adjacency_matrix=jnp.asarray(
+                    (grng.rand(3, 12, 12) > 0.5), jnp.float32))
+        if head == "dualgcn":
+            batch = dict(batch, adj_matrix=jnp.asarray(
+                (grng.rand(3, 12, 12) > 0.5), jnp.float32),
+                src_mask=jnp.ones((3, 12), jnp.int32),
+                aspect_mask=jnp.asarray(grng.randint(0, 2, (3, 12)),
+                                        jnp.int32),
+                polaritys=jnp.asarray(grng.randint(0, 3, (3,)), jnp.int32))
         # eval-branch candidates differ from the gold ones in the batch
         rng = np.random.RandomState(5)
         ss = rng.randint(0, 9, (3, cfg.n_best_size)).astype(np.int32)
