@@ -73,6 +73,27 @@ def main():
            _time(step, state, _crf_batch(cfg, bc, BATCH, 512)),
            bc, 512, 16)
 
+    # bert-large at s=512 (24L/1024H/16A — the kernel's 16-head block rows:
+    # fwd hb=2, bwd hb=4; parity at this geometry in
+    # tests/test_pallas_attention.py::test_bert_large_geometry_matches_xla)
+    import dataclasses
+    bc_l = dataclasses.replace(bc, hidden_size=1024, num_hidden_layers=24,
+                               num_attention_heads=16,
+                               intermediate_size=4096)
+    cfg = Config(dataset_name="twitter2015", use_prefix=True, use_152=True,
+                 vao=True, use_probe=True, probe_rank=512)
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bc_l)
+    loss_fn = make_crf_loss_fn(cfg, bc_l, select_attention_impl(cfg, True))
+    optimizer, _ = build_optimizer(params, cfg, total_steps=1000,
+                                   pipeline="crf")
+    step = make_train_step(loss_fn, optimizer)
+    state = create_train_state(params, optimizer)
+    record("flagship_bert_large_s512",
+           "full MTVAF CRF train step, bert-large b32 s512, flash kernel",
+           _time(step, state, _crf_batch(cfg, bc_l, BATCH, 512)),
+           bc_l, 512, 16)
+    del state, step, optimizer, params
+
     # c2: span + merged visual-context text, s500
     cfg = Config(dataset_name="twitter15", use_align=True)
     params = init_span_model_params(jax.random.PRNGKey(0), cfg, bc)

@@ -160,6 +160,46 @@ def cross_host_sum(values, mesh: Mesh) -> np.ndarray:
 _CROSS_HOST_SUM_CACHE: dict = {}
 
 
+def cross_host_gather(obj, mesh: Mesh) -> list:
+    """All-gather one small picklable object per process; returns the list
+    ordered by process index (single-process: ``[obj]``).
+
+    Host-level companion to :func:`cross_host_sum` for non-numeric payloads
+    (per-host eval predictions, metric rows): each process contributes its
+    pickled bytes through a 'data'-sharded uint8 scratch array and one
+    jitted replicated identity — no host networking beyond what jit already
+    does.  Used by the trainers' SHARDED multi-host eval (each host decodes
+    ~1/P of the eval batches, then every host reconstructs the complete,
+    identically-ordered result list)."""
+    import pickle
+    if jax.process_count() == 1:
+        return [obj]
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    procs = jax.process_count()
+    pid = jax.process_index()
+    lens = np.zeros((procs,), np.float32)
+    lens[pid] = len(payload)
+    lens = cross_host_sum(lens, mesh)        # one-hot sum = all lengths
+    # power-of-two bucket: one identity compile per bucket, not per call
+    maxlen = 1 << (max(int(lens.max()), 1) - 1).bit_length()
+    D = data_axis_size(mesh)
+    if D % procs != 0:
+        raise ValueError(f"data axis {D} not divisible by {procs} processes")
+    local = np.zeros((D // procs, maxlen), np.uint8)
+    local[0, :len(payload)] = payload
+    sh = NamedSharding(mesh, P("data"))
+    g = jax.make_array_from_process_local_data(sh, local, (D, maxlen))
+    key = (mesh, "gather", maxlen)
+    fn = _CROSS_HOST_SUM_CACHE.get(key)
+    if fn is None:
+        fn = _CROSS_HOST_SUM_CACHE[key] = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P()))
+    full = np.asarray(fn(g))
+    rows = D // procs
+    return [pickle.loads(full[p * rows, :int(lens[p])].tobytes())
+            for p in range(procs)]
+
+
 def local_batch_rows(x) -> np.ndarray:
     """Host copy of THIS process's rows of a batch-sharded global array.
 
@@ -306,9 +346,10 @@ def trainer_meshes(cfg):
       single-device path with zero placement overhead.
     * multi-host: training shards per-host input over the GLOBAL mesh
       (reference DistributedSampler + DDP, MTVAF_training.py:309,331,355);
-      eval gets a HOST-LOCAL mesh — every host evaluates the full dev/test
-      set independently (identical, deterministic results on all hosts), so
-      host-side span-NMS/metrics never need cross-host gathers.
+      eval gets a HOST-LOCAL mesh and the trainers SHARD the eval batches
+      round-robin over processes (~1/P of the device work each), then
+      all-gather the per-batch rows (core.mesh.cross_host_gather) so every
+      host still ends with the complete, identically-ordered predictions.
     """
     micro_bsz = cfg.train_batch_size // cfg.gradient_accumulation_steps
     n_avail = len(jax.devices()) // cfg.mesh_model

@@ -295,7 +295,8 @@ class SpanPredictor(_PredictorBase):
         s_np, e_np = jax.device_get((s_logits, e_logits))
         all_ss, all_se, all_masks = self._candidates(examples, feats,
                                                      s_np, e_np)
-        pairs = jnp.asarray(np.stack([all_ss, all_se]), jnp.int32)
+        # host numpy: the transfer rides the classification dispatch
+        pairs = np.stack([all_ss, all_se]).astype(np.int32)
         if self.cfg.gcn_layer_number > 0:
             valid_ids, adjacency = gcn if gcn is not None else (None, None)
             ac_dev = self._classify(self.params, seq, pairs, valid_ids,
@@ -337,7 +338,7 @@ class SpanPredictor(_PredictorBase):
                 se_np = se_fut.result()
                 all_ss, all_se, all_masks = self._candidates(
                     examples, feats, se_np[0], se_np[1])
-                pairs = jnp.asarray(np.stack([all_ss, all_se]), jnp.int32)
+                pairs = np.stack([all_ss, all_se]).astype(np.int32)
                 if self.cfg.gcn_layer_number > 0:
                     # raw-text streaming has no dependency parses: skip
                     # the DiGCN re-encode (classify_gcn's None-adjacency

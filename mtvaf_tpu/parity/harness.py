@@ -252,10 +252,12 @@ def main(argv=None):
             os.path.join(synth, "ckpt", "roberta"), kind="roberta")
         ns.resnet_root = build_resnet_pth(os.path.join(synth, "ckpt",
                                                        "resnets"))
-        ns.probe_ckpt = os.path.join(ns.reference_path,
-                                     "psdProbe_base_savel7.pt")
-        if not os.path.exists(ns.probe_ckpt):
-            ns.probe_ckpt = None
+        ns.probe_ckpt = next(
+            (p for p in (os.path.join(ns.reference_path,
+                                      "psdProbe_base_savel7.pt"),
+                         os.path.join(ns.reference_path, "probes",
+                                      "psdProbe_base_savel7.pt"))
+             if os.path.exists(p)), None)
         # tiny schedule: the dry run validates structure, not accuracy
         ns.num_epochs = min(ns.num_epochs, 2)
         ns.eval_begin_epoch = 1

@@ -44,6 +44,18 @@ os.chdir({staging!r})
 from mtvaf_tpu.parity.torchstubs import install_reference_stubs
 stubbed = install_reference_stubs()
 print("parity: stubbed modules:", ",".join(stubbed) or "(none)", flush=True)
+# torch >= 2.6 defaults torch.load(weights_only=True), which rejects the
+# reference's pickled-module checkpoints (models/psdProbe_*.pt,
+# bert_model.py:474) — restore the default of the torch era the reference
+# targets for its own loads
+import functools
+import torch as _torch
+_torch_load = _torch.load
+@functools.wraps(_torch_load)
+def _load(*a, **k):
+    k.setdefault("weights_only", False)
+    return _torch_load(*a, **k)
+_torch.load = _load
 import MTVAF_training as mt
 for name, year in (("twitter15", "twitter2015"), ("twitter17", "twitter2017")):
     mt.MERGE_PATH.setdefault(name, mt.AGN_PATH[name])
@@ -105,11 +117,15 @@ def stage_reference(reference_path: str, data_dir: str, staging: str) -> str:
         dst = os.path.join(models, entry)
         if not os.path.lexists(dst):
             os.symlink(os.path.join(reference_path, "models", entry), dst)
-    for entry in os.listdir(reference_path):
-        if entry.startswith("psdProbe") and entry.endswith(".pt"):
-            dst = os.path.join(models, entry)
-            if not os.path.lexists(dst):
-                os.symlink(os.path.join(reference_path, entry), dst)
+    for sub in ("", "probes"):
+        src_dir = os.path.join(reference_path, sub) if sub else reference_path
+        if not os.path.isdir(src_dir):
+            continue
+        for entry in os.listdir(src_dir):
+            if entry.startswith("psdProbe") and entry.endswith(".pt"):
+                dst = os.path.join(models, entry)
+                if not os.path.lexists(dst):
+                    os.symlink(os.path.join(src_dir, entry), dst)
     data_dst = os.path.join(staging, "data")
     if os.path.lexists(data_dst):
         os.remove(data_dst)

@@ -49,8 +49,11 @@ def build_data_tree(root: str, *, years=("2015", "2017"), n: int = 8,
             make_span_file(os.path.join(base, fname), n,
                            seed=seed + mi, image_ids=span_ids)
             anp_tmp = os.path.join(base, f"_anp_{mode}.json")
+            # the reference hard-codes 2089 ANP classes (its vao KL loss
+            # compares against the full image_output*.json distribution,
+            # bert_model.py:458) — the synthetic ANP vectors must match
             make_crf_files(os.path.join(base, f"twitter{year}", fname),
-                           anp_tmp, n, seed=seed + mi, num_anp=8,
+                           anp_tmp, n, seed=seed + mi, num_anp=2089,
                            image_ids=crf_ids)
             with open(anp_tmp) as f:
                 anp_merged.update(json.load(f))

@@ -361,15 +361,24 @@ class CrfTrainer:
         from concurrent.futures import ThreadPoolExecutor
         records = []
         eval_params = self._eval_params()
+        # Multi-host: eval batches are SHARDED round-robin over processes
+        # (each host decodes ~1/P of the set on its host-local mesh) and the
+        # per-batch rows/losses are all-gathered afterwards, so every host
+        # still ends with the complete, identically-ordered predictions —
+        # same determinism as the old evaluate-everything-everywhere design
+        # at 1/P of the device work.
+        shard = self.process_count > 1 and self.mesh is not None
         batches = prefetch(
-            (self._attach_guides(b, dataset, for_mesh=self.eval_mesh)
-             for b in iterate_batches(dataset.arrays, cfg.eval_batch_size)))
+            ((bi, self._attach_guides(b, dataset, for_mesh=self.eval_mesh))
+             for bi, b in enumerate(
+                 iterate_batches(dataset.arrays, cfg.eval_batch_size))
+             if not shard or bi % self.process_count == self.process_index))
         # Fetches run in a thread pool (one device_get per record, loss+tags
         # together) so the per-record host round-trips overlap — on the
         # tunneled axon backend each RPC costs ~25 ms; futures are consumed
         # in dispatch order so results are deterministic.
         with ThreadPoolExecutor(max_workers=4) as fetcher:
-            for batch in batches:
+            for bi, batch in batches:
                 valid = batch.pop("batch_valid")
                 dev_batch = self._device_batch(batch, mesh=self.eval_mesh)
                 n = int(np.asarray(valid).sum())
@@ -384,22 +393,27 @@ class CrfTrainer:
                     batch = {k: v[:n] for k, v in batch.items()}
                     valid = valid[:n]
                 out = self.decode_step(eval_params, dev_batch)
-                records.append((batch, valid, fetcher.submit(
+                records.append((bi, batch, valid, fetcher.submit(
                     jax.device_get, (out["loss"], out["pred_tags"]))))
 
-            y_true, y_pred = [], []
-            total_loss = 0.0
-            for batch, valid, fut in records:
+            rows = []            # (batch_index, y_true, y_pred, loss)
+            for bi, batch, valid, fut in records:
                 loss_np, tags_np = fut.result()
-                total_loss += float(loss_np)
                 yt, yp = labels_to_tags(batch["label_ids"],
                                         batch["input_mask"],
                                         self.inv_label_map, tags_np)
-                for j in range(len(yt)):
-                    if valid[j]:
-                        y_true.append(yt[j])
-                        y_pred.append(yp[j])
-        return y_true, y_pred, total_loss / max(len(records), 1)
+                keep = [j for j in range(len(yt)) if valid[j]]
+                rows.append((bi, [yt[j] for j in keep],
+                             [yp[j] for j in keep], float(loss_np)))
+        if shard:
+            from ..core.mesh import cross_host_gather
+            rows = [r for part in cross_host_gather(rows, self.mesh)
+                    for r in part]
+            rows.sort(key=lambda r: r[0])
+        y_true = [t for _, yt, _, _ in rows for t in yt]
+        y_pred = [p for _, _, yp, _ in rows for p in yp]
+        total_loss = sum(r[3] for r in rows)
+        return y_true, y_pred, total_loss / max(len(rows), 1)
 
     def evaluate(self, epoch: int) -> float:
         cfg = self.cfg

@@ -387,17 +387,21 @@ class SpanTrainer:
 
         from ..data.datasets import iterate_batches
         cfg = self.cfg
-        all_results = []
-        batch_losses = []
+        rows = []               # (batch_index, [RawFinalResult...], loss)
         pending_ext = deque()   # dispatched extractions (fetch futures)
         pending_cls = deque()   # dispatched classifications (fetch futures)
         eval_params = self._eval_params()
+        # Multi-host: eval batches shard round-robin over processes (each
+        # host runs ~1/P of the set on its host-local mesh); the per-batch
+        # results/losses are all-gathered and re-ordered afterwards so every
+        # host ends with the complete, identical result list.
+        shard = self.process_count > 1 and self.mesh is not None
 
         with ThreadPoolExecutor(max_workers=4) as fetcher:
 
             def harvest_one():
                 """Take one extraction, run host NMS, dispatch classify."""
-                batch, valid, se_fut, ext, gcn, dev_batch = \
+                bi, batch, valid, se_fut, ext, gcn, dev_batch = \
                     pending_ext.popleft()
                 se_np = se_fut.result()               # one fetch: (2, B, S)
                 ss, se, labels, masks = batch_eval_candidates(
@@ -418,42 +422,57 @@ class SpanTrainer:
                         pack = pack[:, :n]
                     # padding rows sit at the TAIL (datasets.iterate_batches
                     # valid_mask), so the sliced ac_logits still covers
-                    # every valid row finish_one will read
+                    # every valid row finish_one will read.  The candidate
+                    # pack stays HOST numpy: passed straight into the jitted
+                    # call, its transfer rides the dispatch instead of
+                    # paying a standalone blocking device_put RPC
+                    # (bench_rpc_probe.py: ~25-40 ms each on the tunnel) —
+                    # the seam is 2 RPCs/batch (extraction fetch + fused
+                    # upload/dispatch; the result fetch overlaps in the pool)
                     ac_logits, loss = self.eval_loss_step(
                         eval_params, loss_batch, ext_t[2], ext_t[0],
-                        ext_t[1], ext_t[3], jnp.asarray(pack, jnp.int32))
+                        ext_t[1], ext_t[3],
+                        np.ascontiguousarray(pack, np.int32))
                     fut = fetcher.submit(jax.device_get, (ac_logits, loss))
                 elif gcn is not None:
                     # DiGCN eval: re-encode before the span gather
                     # (reference models/bert_model.py:270-284)
-                    pairs = jnp.asarray(np.stack([ss, se]), jnp.int32)
+                    pairs = np.stack([ss, se]).astype(np.int32)
                     ac_logits = self.classification_step(
                         eval_params, ext[2], pairs, gcn[0], gcn[1])
                     fut = fetcher.submit(np.asarray, ac_logits)
                 else:
-                    pairs = jnp.asarray(np.stack([ss, se]), jnp.int32)
+                    pairs = np.stack([ss, se]).astype(np.int32)
                     ac_logits = self.classification_step(eval_params, ext[2],
                                                          pairs)
                     fut = fetcher.submit(np.asarray, ac_logits)
-                pending_cls.append((batch, valid, ss, se, masks, fut))
+                pending_cls.append((bi, batch, valid, ss, se, masks,
+                                    fut))
 
             def finish_one():
-                batch, valid, ss, se, masks, ac_fut = pending_cls.popleft()
+                bi, batch, valid, ss, se, masks, ac_fut = \
+                    pending_cls.popleft()
                 ac_np = ac_fut.result()
+                loss = None
                 if compute_loss:
                     ac_np, loss_np = ac_np
-                    batch_losses.append(float(loss_np))
+                    loss = float(loss_np)
+                res = []
                 for j, ex_idx in enumerate(batch["example_index"]):
                     if not valid[j]:
                         continue
                     feature = dataset.features[int(ex_idx)]
-                    all_results.append(RawFinalResult(
+                    res.append(RawFinalResult(
                         unique_id=feature.unique_id, start_indexes=ss[j],
                         end_indexes=se[j],
                         cls_pred=list(ac_np[j].argmax(axis=-1)),
                         span_masks=masks[j]))
+                rows.append((bi, res, loss))
 
-            for batch in iterate_batches(dataset.arrays, cfg.eval_batch_size):
+            for bi, batch in enumerate(
+                    iterate_batches(dataset.arrays, cfg.eval_batch_size)):
+                if shard and bi % self.process_count != self.process_index:
+                    continue
                 batch = self._attach_guides(batch, dataset,
                                             for_mesh=self.eval_mesh)
                 valid = batch.pop("batch_valid")
@@ -474,7 +493,7 @@ class SpanTrainer:
                               if k in _TAIL_BATCH_KEYS} if compute_loss \
                     else None
                 pending_ext.append(
-                    (batch, valid,
+                    (bi, batch, valid,
                      fetcher.submit(np.asarray,
                                     jnp.stack([s_logits, e_logits])),
                      (s_logits, e_logits, seq, captured), gcn, loss_batch))
@@ -486,8 +505,15 @@ class SpanTrainer:
                 harvest_one()
             while pending_cls:
                 finish_one()
+        if shard:
+            from ..core.mesh import cross_host_gather
+            rows = [r for part in cross_host_gather(rows, self.mesh)
+                    for r in part]
+        rows.sort(key=lambda r: r[0])
+        all_results = [r for _, res, _ in rows for r in res]
         if compute_loss:
-            return all_results, sum(batch_losses) / max(len(batch_losses), 1)
+            losses = [l for _, _, l in rows if l is not None]
+            return all_results, sum(losses) / max(len(losses), 1)
         return all_results
 
     def evaluate(self, epoch: int) -> float:

@@ -17,7 +17,8 @@ import sys
 
 def main(coordinator: str, num_processes: int, process_id: int,
          data_dir: str, pipeline: str = "crf") -> None:
-    n_local = 4 // num_processes
+    total = int(os.environ.get("MTVAF_MP_DEVICES", "4"))
+    n_local = total // num_processes
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_local}")
@@ -28,7 +29,7 @@ def main(coordinator: str, num_processes: int, process_id: int,
                                    num_processes=num_processes,
                                    process_id=process_id)
     assert jax.process_count() == num_processes
-    assert len(jax.devices()) == 4
+    assert len(jax.devices()) == total
 
     import numpy as np
 
@@ -42,7 +43,8 @@ def main(coordinator: str, num_processes: int, process_id: int,
     from mtvaf_tpu.train.trainer_span import SpanTrainer
 
     tokenizer = FullTokenizer(os.path.join(data_dir, "vocab.txt"))
-    if pipeline == "crf_guides":
+    fallback_warned = None
+    if pipeline.startswith("crf_guides"):
         # bf16 + visual prefix + device-resident guide table: multi-host
         # table path (per-host submesh storage, global-array assembly via
         # make_array_from_single_device_arrays — train/ingest.GuideCache)
@@ -65,7 +67,38 @@ def main(coordinator: str, num_processes: int, process_id: int,
                              resnet_params=resnet_params)
         assert trainer.guide_cache is not None
         assert trainer.guide_cache.device_items > 0
-        if num_processes > 1:
+        if pipeline == "crf_guides_fallback" and num_processes > 1:
+            # Rebuild the cache on a mesh whose MODEL axis spans processes:
+            # host_local_submesh has no contiguous whole data rows per
+            # process, so the device table must disable itself (with the
+            # warning) and every batch must fall back to host-uploaded
+            # guides — training still matches the table-path baseline.
+            import logging
+
+            from jax.sharding import Mesh
+            from mtvaf_tpu.core.mesh import host_local_submesh
+            msgs = []
+
+            class _Cap(logging.Handler):
+                def emit(self, record):
+                    msgs.append(record.getMessage())
+
+            logging.getLogger("mtvaf_tpu.train.ingest").addHandler(_Cap())
+            by_proc = {}
+            for d in jax.devices():
+                by_proc.setdefault(d.process_index, []).append(d)
+            procs = sorted(by_proc)
+            span = np.array([[by_proc[p][r] for p in procs]
+                             for r in range(len(by_proc[procs[0]]))])
+            span_mesh = Mesh(span, ("data", "model"))
+            assert host_local_submesh(span_mesh) is None
+            trainer.guide_cache = type(trainer.guide_cache)(
+                resnet_params, 18, max_items=cfg.guide_cache_size,
+                device_items=64, mesh=span_mesh)
+            assert trainer.guide_cache.device_items == 0
+            fallback_warned = any("device guide table disabled" in m
+                                  for m in msgs)
+        elif num_processes > 1:
             # table stored on THIS host's contiguous data rows
             assert trainer.guide_cache._assemble_global
             sub = trainer.guide_cache._store_mesh
@@ -77,7 +110,9 @@ def main(coordinator: str, num_processes: int, process_id: int,
                      train_batch_size=8, eval_batch_size=8,
                      num_epochs=3 if preempt else 1,
                      eval_begin_epoch=99, bf16=False, num_anp_classes=8,
-                     lr=1e-3, mesh_data=4, seed=13,
+                     lr=1e-3,
+                     mesh_data=4 if pipeline == "crf_accum" else total,
+                     seed=13,
                      save_checkpoints=preempt,
                      # one SHARED dir: orbax coordinates the multi-process
                      # write to a single path (meta sidecars are identical)
@@ -109,7 +144,7 @@ def main(coordinator: str, num_processes: int, process_id: int,
         trainer = SpanTrainer(cfg, bert_cfg, params, train_dataset=ds,
                               dev_dataset=ds, test_dataset=ds)
 
-    assert trainer.mesh is not None and trainer.mesh.devices.size == 4
+    assert trainer.mesh is not None and trainer.mesh.devices.size in (4, total)
     if num_processes > 1:
         # the global train mesh spans processes; eval gets a host-local mesh
         assert any(d.process_index != jax.process_index()
@@ -175,6 +210,7 @@ def main(coordinator: str, num_processes: int, process_id: int,
         "ckpt_ok": ckpt_ok,
         "table_rows": len(trainer.guide_cache._dev_rows)
         if getattr(trainer, "guide_cache", None) is not None else None,
+        "fallback_warned": fallback_warned,
         "y_pred": y_pred,
     }))
 

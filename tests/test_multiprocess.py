@@ -30,10 +30,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(num_processes, data_dir, coordinator, pipeline="crf"):
+def _run_workers(num_processes, data_dir, coordinator, pipeline="crf",
+                 devices=4):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"   # belt-and-braces; worker forces it too
     env.pop("XLA_FLAGS", None)     # worker sets its own device count
+    env["MTVAF_MP_DEVICES"] = str(devices)
     env["PYTHONPATH"] = os.path.dirname(HERE) + os.pathsep + \
         env.get("PYTHONPATH", "")
     procs = [
@@ -90,8 +92,9 @@ def test_two_process_epoch_matches_single_process(data_dir):
                                    baseline["params_digest"], rtol=1e-6)
         np.testing.assert_allclose(r["first_leaf_sum"],
                                    baseline["first_leaf_sum"], rtol=1e-6)
-        # host-local eval mesh: every host evaluates the full dev set and
-        # must reproduce the single-process predictions and loss
+        # sharded eval: each host decodes half the eval batches on its
+        # host-local mesh and the gathered merge must reproduce the
+        # single-process predictions and loss
         np.testing.assert_allclose(r["dev_loss"], baseline["dev_loss"],
                                    rtol=1e-5)
         assert r["y_pred"] == baseline["y_pred"]
@@ -183,3 +186,48 @@ def test_two_process_preemption_agrees(data_dir):
     # 16 examples / batch 8 = 2 steps/epoch; stop at end of epoch 1
     assert results[0]["step"] == results[1]["step"] == 2
     assert os.path.isdir(os.path.join(data_dir, "preempt_out", "ckpt"))
+
+
+def test_four_process_epoch_matches_single_process(data_dir):
+    """FOUR processes (2 virtual devices each) over one 8-device mesh:
+    exercises >2-host global-batch assembly, the 4-way round-robin eval
+    shard + cross_host_gather merge, and 4-way cross_host_sum metrics —
+    everything must still reproduce the single-process 8-device run."""
+    baseline = _run_workers(1, data_dir, "unused", devices=8)[0]
+    coordinator = f"localhost:{_free_port()}"
+    results = _run_workers(4, data_dir, coordinator, devices=8)
+    for r in results:
+        assert r["step"] == baseline["step"]
+        np.testing.assert_allclose(r["params_digest"],
+                                   baseline["params_digest"], rtol=1e-6)
+        np.testing.assert_allclose(r["dev_loss"], baseline["dev_loss"],
+                                   rtol=1e-5)
+        assert r["y_pred"] == baseline["y_pred"]
+        assert r["train_f1"] is not None
+        np.testing.assert_allclose(r["train_f1"], baseline["train_f1"],
+                                   rtol=1e-9)
+    assert len({r["params_digest"] for r in results}) == 1
+    assert len({json.dumps(r["y_pred"]) for r in results}) == 1
+
+
+def test_two_process_guide_table_submesh_fallback(data_dir):
+    """A mesh whose MODEL axis spans processes has no host-contiguous data
+    rows: host_local_submesh returns None, the device guide table must
+    disable itself with the one-shot warning (train/ingest.GuideCache),
+    and training on host-uploaded guides must still match the baseline
+    that keeps the device table."""
+    baseline = _run_workers(1, data_dir, "unused", pipeline="crf_guides")[0]
+    assert baseline["table_rows"] and baseline["table_rows"] >= 4
+    coordinator = f"localhost:{_free_port()}"
+    results = _run_workers(2, data_dir, coordinator,
+                           pipeline="crf_guides_fallback")
+    for r in results:
+        assert r["step"] == baseline["step"]
+        assert r["fallback_warned"] is True
+        assert not r["table_rows"]            # table never engaged
+        np.testing.assert_allclose(r["params_digest"],
+                                   baseline["params_digest"], rtol=1e-6)
+        np.testing.assert_allclose(r["dev_loss"], baseline["dev_loss"],
+                                   rtol=1e-5)
+        assert r["y_pred"] == baseline["y_pred"]
+    assert results[0]["params_digest"] == results[1]["params_digest"]

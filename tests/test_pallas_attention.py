@@ -166,3 +166,36 @@ def test_bwd_head_block_budget():
     assert _heads_per_program_bwd(12, 512) == 6
     assert _heads_per_program(12, 512) == 3
     assert _heads_per_program_bwd(12, 128) == 12
+
+
+def test_bert_large_geometry_matches_xla():
+    """bert-large geometry (16 heads, head_dim 64) at s512 + prefix 16:
+    the block tables must split 16 heads cleanly at this scale and the
+    kernel must match XLA forward AND backward — the supported-scale
+    matrix row for larger backbones (BENCH_LONGSEQ.json carries the
+    measured throughput)."""
+    from mtvaf_tpu.kernels.prefix_attention import (_heads_per_program,
+                                                    _heads_per_program_bwd,
+                                                    prefix_flash_attention)
+    hb_f = _heads_per_program(16, 512)
+    hb_b = _heads_per_program_bwd(16, 512)
+    assert 16 % hb_f == 0 and hb_f >= 1
+    assert 16 % hb_b == 0 and hb_b >= 1
+
+    q, k, v, bias = make_inputs(B=1, H=16, S=512, P=16, D=64, seed=2)
+    with jax.default_matmul_precision("highest"):
+        ref = xla_attention(q, k, v, bias)
+        got = prefix_flash_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    def loss(fn, q, k, v):
+        return (fn(q, k, v, bias) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gr = jax.grad(lambda *a: loss(xla_attention, *a),
+                      argnums=(0, 1, 2))(q, k, v)
+        gg = jax.grad(lambda *a: loss(prefix_flash_attention, *a),
+                      argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gg):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3,
+                                   rtol=1e-3)
