@@ -88,9 +88,15 @@ def main():
                                    pipeline="crf")
     step = make_train_step(loss_fn, optimizer)
     state = create_train_state(params, optimizer)
+    # b16: bert-large at s512 with fp32 AdamW state does not fit b32 in
+    # 16 GB HBM even with the flash kernel (the 24-layer residual stashes
+    # alone are ~2.4 GB); --remat fits b32 but measures slower per example
+    B_LARGE = 16
     record("flagship_bert_large_s512",
-           "full MTVAF CRF train step, bert-large b32 s512, flash kernel",
-           _time(step, state, _crf_batch(cfg, bc_l, BATCH, 512)),
+           f"full MTVAF CRF train step, bert-large b{B_LARGE} s512, "
+           "flash kernel (b32 OOMs without --remat)",
+           _time(step, state, _crf_batch(cfg, bc_l, B_LARGE, 512))
+           * B_LARGE / BATCH,
            bc_l, 512, 16)
     del state, step, optimizer, params
 

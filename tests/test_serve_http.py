@@ -157,3 +157,35 @@ def test_http_predict_with_images():
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_http_with_batch_shape_ladder(trained_run):
+    """The mtvaf-serve config surface: a laddered server behind HTTP —
+    warmup compiles every rung, a single request rides the bottom rung
+    and a burst coalesces onto larger rungs."""
+    from http.server import ThreadingHTTPServer
+
+    from mtvaf_tpu.infer import load_predictor
+
+    predictor = load_predictor(str(trained_run))
+    with BatchingServer(predictor, batch_shapes=(1, 4),
+                        max_wait_ms=5.0) as server:
+        server.warmup()
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), build_app(server))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            code, body = _http(f"{base}/predict", {"sentences": ["solo"]})
+            assert code == 200 and len(body["results"]) == 1
+            code, body = _http(
+                f"{base}/predict",
+                {"sentences": [f"s{i} pizza" for i in range(6)]})
+            assert code == 200 and len(body["results"]) == 6
+            code, body = _http(f"{base}/stats")
+            # solo + burst (warmup drives the predictor directly and does
+            # not count as served requests)
+            assert code == 200 and body["served"] == 7
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
