@@ -77,9 +77,12 @@ def main():
     # fwd hb=2, bwd hb=4; parity at this geometry in
     # tests/test_pallas_attention.py::test_bert_large_geometry_matches_xla)
     import dataclasses
+    # remat: 24L/1024H at s512 does not fit 16 GB HBM even at b16 without
+    # checkpointed encoder layers (the documented escape hatch for larger
+    # backbones at long context, docs/CONFIGS.md --remat)
     bc_l = dataclasses.replace(bc, hidden_size=1024, num_hidden_layers=24,
                                num_attention_heads=16,
-                               intermediate_size=4096)
+                               intermediate_size=4096, remat=True)
     cfg = Config(dataset_name="twitter2015", use_prefix=True, use_152=True,
                  vao=True, use_probe=True, probe_rank=512)
     params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bc_l)
@@ -88,15 +91,10 @@ def main():
                                    pipeline="crf")
     step = make_train_step(loss_fn, optimizer)
     state = create_train_state(params, optimizer)
-    # b16: bert-large at s512 with fp32 AdamW state does not fit b32 in
-    # 16 GB HBM even with the flash kernel (the 24-layer residual stashes
-    # alone are ~2.4 GB); --remat fits b32 but measures slower per example
-    B_LARGE = 16
     record("flagship_bert_large_s512",
-           f"full MTVAF CRF train step, bert-large b{B_LARGE} s512, "
-           "flash kernel (b32 OOMs without --remat)",
-           _time(step, state, _crf_batch(cfg, bc_l, B_LARGE, 512))
-           * B_LARGE / BATCH,
+           "full MTVAF CRF train step, bert-large b32 s512, flash kernel "
+           "+ --remat (OOMs 16 GB HBM without it, even at b16)",
+           _time(step, state, _crf_batch(cfg, bc_l, BATCH, 512)),
            bc_l, 512, 16)
     del state, step, optimizer, params
 

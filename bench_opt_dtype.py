@@ -2,8 +2,8 @@
 
 Usage: python bench_opt_dtype.py {fp32|mu16}
 
-Rationale: the round-3 trace puts the AdamW apply near its HBM roofline
-(~5 ms of moment+param traffic, docs/DESIGN.md §9).  The first moment is
+``--optimizer_mu_bf16`` is the SHIPPED default (Config); this measures
+what it is worth against true fp32 first moments.  The first moment is
 the most rounding-tolerant tensor in the update; storing it bf16 halves
 its read+write (~440 MB/step at BERT-base+heads scale).  Each variant is
 its own process/compile; prints one JSON line.  Diagnostic tool — not a
@@ -33,8 +33,7 @@ def main(variant: str):
                                        make_train_step)
 
     cfg, bert_cfg, params = _flagship()
-    if variant == "mu16":
-        cfg = cfg.replace(optimizer_mu_bf16=True)
+    cfg = cfg.replace(optimizer_mu_bf16=variant == "mu16")
     optimizer, _ = build_optimizer(params, cfg, total_steps=1000,
                                    pipeline="crf")
     loss_fn = make_crf_loss_fn(cfg, bert_cfg,
