@@ -423,26 +423,27 @@ class SpanTrainer:
                     # padding rows sit at the TAIL (datasets.iterate_batches
                     # valid_mask), so the sliced ac_logits still covers
                     # every valid row finish_one will read.  The candidate
-                    # pack stays HOST numpy: passed straight into the jitted
-                    # call, its transfer rides the dispatch instead of
-                    # paying a standalone blocking device_put RPC
-                    # (bench_rpc_probe.py: ~25-40 ms each on the tunnel) —
-                    # the seam is 2 RPCs/batch (extraction fetch + fused
-                    # upload/dispatch; the result fetch overlaps in the pool)
+                    # pack ships via ASYNC device_put (jnp.asarray): in this
+                    # PIPELINED loop the transfer overlaps the host NMS of
+                    # the next batches, measured +15%% over passing host
+                    # numpy into the jitted call (which transfers
+                    # synchronously on the dispatching thread: 914 vs
+                    # 771-825 ex/s seam rate).  The opposite holds for the
+                    # serving predictors' one-shot dispatch (infer.py),
+                    # where the packed jit-arg path wins — don't unify them
                     ac_logits, loss = self.eval_loss_step(
                         eval_params, loss_batch, ext_t[2], ext_t[0],
-                        ext_t[1], ext_t[3],
-                        np.ascontiguousarray(pack, np.int32))
+                        ext_t[1], ext_t[3], jnp.asarray(pack, jnp.int32))
                     fut = fetcher.submit(jax.device_get, (ac_logits, loss))
                 elif gcn is not None:
                     # DiGCN eval: re-encode before the span gather
                     # (reference models/bert_model.py:270-284)
-                    pairs = np.stack([ss, se]).astype(np.int32)
+                    pairs = jnp.asarray(np.stack([ss, se]), jnp.int32)
                     ac_logits = self.classification_step(
                         eval_params, ext[2], pairs, gcn[0], gcn[1])
                     fut = fetcher.submit(np.asarray, ac_logits)
                 else:
-                    pairs = np.stack([ss, se]).astype(np.int32)
+                    pairs = jnp.asarray(np.stack([ss, se]), jnp.int32)
                     ac_logits = self.classification_step(eval_params, ext[2],
                                                          pairs)
                     fut = fetcher.submit(np.asarray, ac_logits)
