@@ -120,6 +120,12 @@ def main(argv=None):
                         "rung compiles once at startup")
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--pipeline_depth", type=int, default=4)
+    p.add_argument("--serve_devices", default="1",
+                   help="'auto' = one predictor replica per local chip "
+                        "(data-parallel serving: shared queue, one dispatch "
+                        "worker per chip, throughput scales with chips); an "
+                        "integer N uses the first N local devices; default "
+                        "1 = single-device")
     args = p.parse_args(argv)
     batch_shapes = [int(s) for s in args.batch_shapes.split(",")] \
         if args.batch_shapes else None
@@ -136,10 +142,23 @@ def main(argv=None):
             "prefix run: POST base64 'images' aligned with 'sentences' for "
             "visual guides; requests without images run text-only (the "
             "first image-bearing batch compiles a second program)")
+    devices = None
+    if args.serve_devices != "1":
+        import jax
+        local = jax.local_devices()
+        n = len(local) if args.serve_devices == "auto" \
+            else int(args.serve_devices)
+        if not 1 <= n <= len(local):
+            raise SystemExit(f"--serve_devices {args.serve_devices}: have "
+                             f"{len(local)} local devices")
+        devices = local[:n] if n > 1 else None
+        if devices:
+            logger.info("data-parallel serving over %d devices", n)
     with BatchingServer(predictor, max_batch=args.max_batch,
                         max_wait_ms=args.max_wait_ms,
                         pipeline_depth=args.pipeline_depth,
-                        batch_shapes=batch_shapes) as server:
+                        batch_shapes=batch_shapes,
+                        devices=devices) as server:
         # compile every serving rung before accepting traffic
         server.warmup()
         httpd = ThreadingHTTPServer((args.host, args.port),

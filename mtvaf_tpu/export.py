@@ -1,0 +1,302 @@
+"""Deployment artifacts: serialized, self-contained serving programs.
+
+The reference's only deployment story is re-running its trainer with
+``--only_test`` (/root/reference/MTVAF_training.py:391-394).  This module
+goes the other way, the JAX-native one: :func:`export_predictor` lowers a
+predictor's device programs through ``jax.export`` into versioned
+StableHLO artifacts with the trained weights BAKED IN as constants — one
+file per compiled batch rung — plus a JSON manifest.  The bundle is
+self-contained: serving it needs jax and a tokenizer vocab, but none of
+this framework's model code and no weights file, and the program is
+byte-frozen (no Python-side drift between what was validated and what
+serves).
+
+    >>> export_predictor(predictor, "bundle/", batch_sizes=(1, 16))
+    >>> served = load_exported_predictor("bundle/", tokenizer)
+    >>> served.predict(["the pizza was great"])      # == predictor.predict
+    [[('pizza', 'POS')]]
+
+Scope and caveats:
+
+* CRF pipeline: the fused decode program (encoder → CRF Viterbi) per
+  rung; prefix (multimodal) runs also export the frozen-ResNet guide
+  program and a decode-with-guides variant, so exported serving accepts
+  images exactly like the live predictor.
+* Span pipeline: the extraction and classification programs per rung
+  (the candidate-NMS seam between them is host code by design —
+  eval/span_decode.py; the exported predictor reuses it).  DiGCN-trained
+  span models export the no-sidecar classification signature (raw-text
+  serving has no dependency parses — same as predict_many).
+* Artifacts lower for the platforms requested at export time
+  (``platforms=("cpu", "tpu")`` by default, so one bundle serves both);
+  a predictor whose eval attention resolved to the Pallas kernel
+  (long-sequence configs) is TPU-only — export it with
+  ``platforms=("tpu",)``.
+* Size: the weights are baked into EACH rung's program (~param bytes per
+  rung — 435 MB per rung for fp32 BERT-base), the price of fully
+  self-contained artifacts.  Keep the rung ladder short (1 + the serving
+  batch), or serve the live predictor where a weights file is acceptable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from .infer import CrfPredictor, SpanPredictor
+
+_MANIFEST = "manifest.json"
+_FORMAT_VERSION = 1
+
+
+def _spec(shape, dtype):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _crf_batch_spec(cfg, rung: int) -> Dict[str, jax.ShapeDtypeStruct]:
+    seq = cfg.effective_max_seq
+    return {
+        "input_ids": _spec((rung, seq), jnp.int32),
+        "input_mask": _spec((rung, seq), jnp.int32),
+        "segment_ids": _spec((rung, seq), jnp.int32),
+        "label_ids": _spec((rung, seq), jnp.int32),
+        "imagelabel": _spec((rung, cfg.num_anp_classes), jnp.float32),
+    }
+
+
+def _span_batch_spec(cfg, rung: int) -> Dict[str, jax.ShapeDtypeStruct]:
+    seq = cfg.effective_max_seq
+    return {
+        "input_ids": _spec((rung, seq), jnp.int32),
+        "input_mask": _spec((rung, seq), jnp.int32),
+        "segment_ids": _spec((rung, seq), jnp.int32),
+    }
+
+
+def _export_one(fn, specs: Sequence, platforms) -> bytes:
+    exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(
+        *specs)
+    return bytes(exported.serialize())
+
+
+def export_predictor(predictor, out_dir: str, *,
+                     batch_sizes: Sequence[int] = (1, 16),
+                     platforms: Sequence[str] = ("cpu", "tpu")) -> Dict:
+    """Write a self-contained serving bundle for ``predictor``.
+
+    One serialized program per (stage, batch rung); weights are closure
+    constants inside each artifact.  Returns the manifest dict."""
+    from dataclasses import asdict
+
+    os.makedirs(out_dir, exist_ok=True)
+    cfg, bert_cfg, params = predictor.cfg, predictor.bert_cfg, \
+        predictor.params
+    rungs = tuple(sorted({int(b) for b in batch_sizes}))
+    if rungs[0] < 1:
+        raise ValueError("batch_sizes must be >= 1")
+    is_span = isinstance(predictor, SpanPredictor)
+    programs = []
+
+    def emit(name: str, fn, specs):
+        blob = _export_one(fn, specs, platforms)
+        fname = name + ".jaxexp"
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(blob)
+        programs.append({"name": name, "file": fname,
+                         "bytes": len(blob)})
+
+    multimodal = bool(cfg.use_prefix and predictor.resnet_params is not None)
+    for rung in rungs:
+        if is_span:
+            extract = predictor._extract
+            classify = predictor._classify
+            emit(f"span_extract_b{rung}",
+                 lambda batch, _e=extract: _e(params, batch),
+                 [_span_batch_spec(cfg, rung)])
+            # the classify program's seq input is exactly the extract
+            # program's seq output — derive its spec, don't guess dtypes
+            _, _, seq_shape, _ = jax.eval_shape(
+                lambda b: extract(params, b), _span_batch_spec(cfg, rung))
+            seq_spec = _spec(seq_shape.shape, seq_shape.dtype)
+            pairs_spec = _spec((2, rung, cfg.n_best_size), jnp.int32)
+            if getattr(cfg, "gcn_layer_number", 0) > 0:
+                # raw-text serving has no dependency parses: freeze the
+                # no-sidecar branch (None adjacency skips the re-encode)
+                emit(f"span_classify_b{rung}",
+                     lambda seq, pairs, _c=classify: _c(params, seq, pairs,
+                                                        None, None),
+                     [seq_spec, pairs_spec])
+            else:
+                emit(f"span_classify_b{rung}",
+                     lambda seq, pairs, _c=classify: _c(params, seq, pairs),
+                     [seq_spec, pairs_spec])
+        else:
+            decode = predictor._decode
+            emit(f"crf_decode_b{rung}",
+                 lambda batch, _d=decode: _d(params, batch),
+                 [_crf_batch_spec(cfg, rung)])
+            if multimodal:
+                guide_fn = predictor._guide_fn
+                emit(f"guides_b{rung}",
+                     lambda imgs, aux, _g=guide_fn: _g(imgs, aux),
+                     [_spec((rung, 224, 224, 3), jnp.float32),
+                      _spec((rung, 3, 224, 224, 3), jnp.float32)])
+                mg, ag = jax.eval_shape(
+                    guide_fn, _spec((rung, 224, 224, 3), jnp.float32),
+                    _spec((rung, 3, 224, 224, 3), jnp.float32))
+                emit(f"crf_decode_guides_b{rung}",
+                     lambda batch, _d=decode: _d(params, batch),
+                     [{**_crf_batch_spec(cfg, rung),
+                       "main_guides": _spec(mg.shape, mg.dtype),
+                       "aux_guides": _spec(ag.shape, ag.dtype)}])
+
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "pipeline": "span" if is_span else "crf",
+        "multimodal": multimodal,
+        "rungs": list(rungs),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "config": asdict(cfg),
+        "bert_config": asdict(bert_cfg),
+        "programs": programs,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _load_program(out_dir: str, name: str):
+    with open(os.path.join(out_dir, name + ".jaxexp"), "rb") as f:
+        return jax_export.deserialize(bytearray(f.read()))
+
+
+class _ExportedRungs:
+    """Smallest-rung-that-fits dispatch over deserialized programs."""
+
+    def __init__(self, by_rung: Dict[int, object]):
+        self._by_rung = dict(sorted(by_rung.items()))
+        self.rungs = tuple(self._by_rung)
+
+    def fit(self, n: int) -> Tuple[int, object]:
+        for rung, prog in self._by_rung.items():
+            if rung >= n:
+                return rung, prog
+        raise ValueError(
+            f"batch of {n} exceeds the largest exported rung "
+            f"{self.rungs[-1]}; re-export with a larger batch size or "
+            f"split the batch")
+
+
+class ExportedCrfPredictor(CrfPredictor):
+    """CrfPredictor served from a bundle: host tokenize/decode code is the
+    live predictor's own; the device call is the frozen artifact."""
+
+    def __init__(self, cfg, bert_cfg, tokenizer, rungs: _ExportedRungs,
+                 guide_rungs: Optional[_ExportedRungs] = None,
+                 mm_rungs: Optional[_ExportedRungs] = None):
+        super().__init__(cfg, bert_cfg, None, tokenizer)
+        self._rungs = rungs
+        self._guide_rungs = guide_rungs
+        self._mm_rungs = mm_rungs
+
+    def dispatch(self, sentences, images=None, aux_images=None):
+        n = len(sentences)
+        rung, prog = self._rungs.fit(n)
+        sentences = list(sentences)
+        padded = sentences + [sentences[-1]] * (rung - n)
+        host = self._make_host_batch(padded)
+        if images is not None:
+            if self._mm_rungs is None:
+                raise ValueError("bundle was exported without the "
+                                 "multimodal programs")
+            mm_rung, mm_prog = self._mm_rungs.fit(n)
+            assert mm_rung == rung, "rung ladders must match"
+            _, guide_prog = self._guide_rungs.fit(n)
+            pad = np.zeros((rung - images.shape[0],) + images.shape[1:],
+                           np.float32)
+            imgs = np.concatenate([images, pad]) if len(pad) else images
+            aux = aux_images if aux_images is not None else \
+                np.zeros((imgs.shape[0], 3, 224, 224, 3), np.float32)
+            mg, ag = guide_prog.call(imgs, aux)
+            out = mm_prog.call({**host, "main_guides": mg, "aux_guides": ag})
+        else:
+            out = prog.call(host)
+        # unpadded sentences: collect's zip truncates the padding rows, so
+        # callers get exactly len(sentences) results (the live predictor
+        # leaves padding to its callers — here the rung pad is internal)
+        return (sentences, host["label_ids"], host["input_mask"], out)
+
+
+class ExportedSpanPredictor(SpanPredictor):
+    """SpanPredictor served from a bundle (text-only; the host NMS seam
+    between the two frozen programs is the live predictor's own code)."""
+
+    def __init__(self, cfg, bert_cfg, tokenizer, extract: _ExportedRungs,
+                 classify: _ExportedRungs):
+        super().__init__(cfg, bert_cfg, None, tokenizer)
+        self._extract_rungs = extract
+        self._classify_rungs = classify
+
+    def dispatch(self, sentences, images=None, aux_images=None, gcn=None):
+        if images is not None or gcn is not None:
+            raise ValueError("exported span bundles serve text-only")
+        n = len(sentences)
+        rung, prog = self._extract_rungs.fit(n)
+        padded = list(sentences) + [sentences[-1]] * (rung - n)
+        examples, feats, host = self._make_host_batch(padded)
+        s_logits, e_logits, seq, _ = prog.call(host)
+        return (n, examples, feats, s_logits, e_logits, seq, rung)
+
+    def collect(self, handle):
+        n, examples, feats, s_logits, e_logits, seq, rung = handle
+        s_np, e_np = jax.device_get((s_logits, e_logits))
+        all_ss, all_se, all_masks = self._candidates(examples, feats,
+                                                     s_np, e_np)
+        pairs = np.stack([all_ss, all_se]).astype(np.int32)
+        _, classify = self._classify_rungs.fit(rung)
+        ac = np.asarray(classify.call(seq, pairs))
+        return self._to_results(examples, feats, all_ss, all_se, all_masks,
+                                ac.argmax(axis=-1))[:n]     # drop rung pad
+
+
+def load_exported_predictor(out_dir: str, tokenizer):
+    """Rebuild a serving predictor from an :func:`export_predictor` bundle.
+
+    ``tokenizer`` matches the training run's (`data.tokenization.
+    build_tokenizer` on the same vocab) — tokenization is host code and is
+    not part of the frozen artifact."""
+    from .core.config import Config
+    from .nn.bert import BertConfig
+
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest["format_version"] != _FORMAT_VERSION:
+        raise ValueError(f"unsupported bundle version "
+                         f"{manifest['format_version']}")
+    cfg = Config(**manifest["config"])
+    bert_cfg = BertConfig(**manifest["bert_config"])
+    rungs = manifest["rungs"]
+
+    def load_rungs(prefix: str) -> _ExportedRungs:
+        return _ExportedRungs(
+            {r: _load_program(out_dir, f"{prefix}_b{r}") for r in rungs})
+
+    if manifest["pipeline"] == "span":
+        return ExportedSpanPredictor(cfg, bert_cfg, tokenizer,
+                                     load_rungs("span_extract"),
+                                     load_rungs("span_classify"))
+    guide_rungs = mm_rungs = None
+    if manifest["multimodal"]:
+        guide_rungs = load_rungs("guides")
+        mm_rungs = load_rungs("crf_decode_guides")
+    return ExportedCrfPredictor(cfg, bert_cfg, tokenizer,
+                                load_rungs("crf_decode"),
+                                guide_rungs=guide_rungs, mm_rungs=mm_rungs)

@@ -61,6 +61,28 @@ class _PredictorBase:
         extra = self._guides_extra(images, aux_images)
         return {**batch, **extra} if extra else batch
 
+    def to_device(self, device):
+        """A replica of this predictor committed to ``device``.
+
+        The params (and the frozen ResNet, for prefix runs) are
+        ``device_put`` there, and since jitted computation follows its
+        committed arguments, every device call of the replica runs on
+        that chip.  Config and tokenizer are shared (read-only); jit
+        caches are per-replica.  This is the multi-chip serving unit:
+        ``serve.BatchingServer(predictor, devices=jax.local_devices())``
+        runs one dispatch worker per replica over a shared request queue
+        — data-parallel serving with no collectives, so per-request
+        latency stays the single-chip latency while throughput scales
+        with chips (the right shape for a model this size; sharding one
+        BERT-base forward over chips would trade ICI hops for nothing).
+        """
+        params = jax.device_put(self.params, device)
+        resnet = None if self.resnet_params is None else \
+            jax.device_put(self.resnet_params, device)
+        return type(self)(self.cfg, self.bert_cfg, params, self.tokenizer,
+                          resnet_params=resnet,
+                          attention_impl=self.attention_impl)
+
     def _run_packed(self, name: str, program, host: Dict, extra: Dict):
         """Run ``program(params, batch)`` with the host leaves shipped as
         ONE packed uint8 buffer whose unpack is FUSED into the program.

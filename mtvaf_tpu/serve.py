@@ -26,6 +26,14 @@ Batching policy (the standard latency/throughput knobs):
                     (dispatch/collect split; per-batch host round-trips
                     hide behind the next batches' compute — essential on
                     tunneled backends where each fetch is a ~25-40 ms RPC).
+* ``devices``     — optional list of chips for DATA-PARALLEL serving: one
+                    predictor replica (params device_put, see
+                    ``infer._PredictorBase.to_device``) and one dispatch
+                    worker per device, all draining the shared queue.  No
+                    collectives: per-request latency stays single-chip
+                    while throughput scales with chips (on a v5e-8, 8×
+                    the saturated single-chip rate).  Total in-flight
+                    batches = replicas × pipeline_depth.
 
 Under load the server converges to full, pipelined top-rung batches (the
 throughput of ``predict_many``); idle single requests pay at most
@@ -58,12 +66,20 @@ class BatchingServer:
 
     def __init__(self, predictor, *, max_batch: int = 16,
                  max_wait_ms: float = 5.0, pipeline_depth: int = 4,
-                 batch_shapes: Optional[Sequence[int]] = None):
+                 batch_shapes: Optional[Sequence[int]] = None,
+                 devices: Optional[Sequence[Any]] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be >= 1")
-        self._predictor = predictor
+        # Multi-chip: one predictor REPLICA per device (params device_put
+        # there — infer._PredictorBase.to_device), one dispatch worker per
+        # replica, all draining the shared queue.  Data-parallel serving
+        # with no collectives: per-request latency stays single-chip,
+        # throughput scales with chips.  ``devices=None`` = the classic
+        # single-worker server on the predictor as given.
+        self._predictors = ([predictor.to_device(d) for d in devices]
+                            if devices else [predictor])
         # the rung ladder: each take of n requests runs at the smallest
         # compiled shape >= n; a bare max_batch is a one-rung ladder
         self._shapes = tuple(sorted({int(s) for s in batch_shapes})) \
@@ -78,7 +94,7 @@ class BatchingServer:
         # trips (a full RPC each on tunneled backends) hide behind the
         # next batches' compute.  Depth 1 = fully synchronous.
         self._pipeline_depth = int(pipeline_depth) \
-            if hasattr(predictor, "dispatch") else 1
+            if hasattr(predictor, "dispatch") else 1      # depth PER replica
         from collections import deque
         self._lock = threading.Condition()
         self._queue: List[Tuple[str, Optional[Any], Future]] = []
@@ -88,9 +104,13 @@ class BatchingServer:
         self._served = 0
         self._latencies_ms = deque(maxlen=8192)
         self._batch_sizes = deque(maxlen=8192)
-        self._worker = threading.Thread(target=self._run, name="mtvaf-serve",
-                                        daemon=True)
-        self._worker.start()
+        self._replica_batches = [0] * len(self._predictors)
+        self._workers = [
+            threading.Thread(target=self._run, args=(i, p),
+                             name=f"mtvaf-serve-{i}", daemon=True)
+            for i, p in enumerate(self._predictors)]
+        for w in self._workers:
+            w.start()
 
     # ------------------------------------------------------------------ API
 
@@ -111,12 +131,23 @@ class BatchingServer:
         return self.submit(sentence, image).result()
 
     def warmup(self) -> None:
-        """Compile every ladder rung before taking traffic (each rung is one
-        fixed XLA program; a cache-miss compile mid-serving would stall the
-        queue for its full compile time — minutes on remote-compile
-        backends)."""
-        for rung in self._shapes:
-            self._predictor.predict(["warm up"] * rung)
+        """Compile every ladder rung on every replica before taking traffic
+        (each rung is one fixed XLA program; a cache-miss compile
+        mid-serving would stall the queue for its full compile time —
+        minutes on remote-compile backends).  Replicas warm concurrently:
+        they share the compile cache, and the per-device executable loads
+        overlap."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def warm(p):
+            for rung in self._shapes:
+                p.predict(["warm up"] * rung)
+
+        if len(self._predictors) == 1:
+            warm(self._predictors[0])
+            return
+        with ThreadPoolExecutor(len(self._predictors)) as pool:
+            list(pool.map(warm, self._predictors))
 
     def stats(self) -> Dict[str, float]:
         """Served-request count plus latency percentiles (ms) and batch
@@ -125,13 +156,17 @@ class BatchingServer:
             served = self._served
             lats = sorted(self._latencies_ms)
             sizes = list(self._batch_sizes)
+            replica_batches = list(self._replica_batches)
+        base = {"served": served, "replicas": len(self._predictors)}
+        if len(replica_batches) > 1:
+            base["replica_batches"] = replica_batches
         if not lats:
-            return {"served": served}
+            return base
 
         def pct(p):
             return lats[min(len(lats) - 1, int(p / 100.0 * len(lats)))]
 
-        return {"served": served, "p50_ms": round(pct(50), 2),
+        return {**base, "p50_ms": round(pct(50), 2),
                 "p95_ms": round(pct(95), 2), "p99_ms": round(pct(99), 2),
                 "mean_batch": round(sum(sizes) / len(sizes), 2),
                 "batches": len(sizes)}
@@ -140,8 +175,9 @@ class BatchingServer:
         """Stop accepting requests, drain the queue, join the worker."""
         with self._lock:
             self._closed = True
-            self._lock.notify()
-        self._worker.join(timeout=timeout)
+            self._lock.notify_all()
+        for w in self._workers:
+            w.join(timeout=timeout)
 
     def __enter__(self):
         return self
@@ -170,7 +206,7 @@ class BatchingServer:
                 else:
                     self._lock.wait()
 
-    def _resolve(self, batch, results_or_exc) -> None:
+    def _resolve(self, batch, results_or_exc, replica: int = 0) -> None:
         if isinstance(results_or_exc, BaseException):
             for _, _, fut in batch:
                 fut.set_exception(results_or_exc)
@@ -178,13 +214,14 @@ class BatchingServer:
         now = time.perf_counter()
         with self._lock:
             self._batch_sizes.append(len(batch))
+            self._replica_batches[replica] += 1
             self._served += len(batch)
             for _, _, fut in batch:
                 self._latencies_ms.append((now - fut._mtvaf_t0) * 1e3)
         for (_, _, fut), res in zip(batch, results_or_exc):
             fut.set_result(res)
 
-    def _run(self) -> None:
+    def _run(self, replica: int, predictor) -> None:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -197,7 +234,7 @@ class BatchingServer:
             # ITSELF: the worker may already be blocked waiting for new
             # requests, so trailing batches must not depend on it.
             try:
-                self._resolve(batch, self._predictor.collect(handle)[:n])
+                self._resolve(batch, predictor.collect(handle)[:n], replica)
             except BaseException as e:              # resolve, don't wedge
                 self._resolve(batch, e)
 
@@ -227,8 +264,7 @@ class BatchingServer:
                                       + [blank] * (rung - n))
                 if self._pipeline_depth > 1:
                     try:
-                        handle = self._predictor.dispatch(sentences,
-                                                          images=images)
+                        handle = predictor.dispatch(sentences, images=images)
                     except BaseException as e:
                         self._resolve(b, e)
                         continue
@@ -238,9 +274,9 @@ class BatchingServer:
                         inflight.popleft().result()
                 else:
                     try:
-                        results = self._predictor.predict(
+                        results = predictor.predict(
                             sentences, images=images)[:n]
                     except BaseException as e:
                         self._resolve(b, e)
                         continue
-                    self._resolve(b, results)
+                    self._resolve(b, results, replica)

@@ -1,0 +1,146 @@
+"""Serving-bundle export tests: frozen StableHLO programs == live predictor.
+
+jax.export round trip for both pipelines (+ the multimodal CRF variant):
+the deserialized artifact must reproduce the live predictor's predictions
+exactly — same host code, byte-frozen device programs, weights baked in.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mtvaf_tpu.core.config import Config
+from mtvaf_tpu.data.synthetic import make_vocab_file
+from mtvaf_tpu.data.tokenization import FullTokenizer
+from mtvaf_tpu.export import export_predictor, load_exported_predictor
+from mtvaf_tpu.infer import CrfPredictor, SpanPredictor
+from mtvaf_tpu.nn.bert import BertConfig
+from mtvaf_tpu.nn.models import init_crf_model_params, init_span_model_params
+
+SENTS = ["the pizza was great but service slow", "bad battery",
+         "nice view from the room"]
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    p = tmp_path_factory.mktemp("v") / "vocab.txt"
+    make_vocab_file(str(p))
+    return FullTokenizer(str(p))
+
+
+@pytest.fixture(scope="module")
+def crf_predictor(tokenizer):
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    return CrfPredictor(cfg, bert_cfg, params, tokenizer)
+
+
+def test_crf_bundle_roundtrip(crf_predictor, tokenizer, tmp_path):
+    out = str(tmp_path / "bundle")
+    manifest = export_predictor(crf_predictor, out, batch_sizes=(1, 4),
+                                platforms=("cpu",))
+    assert manifest["pipeline"] == "crf" and manifest["rungs"] == [1, 4]
+    for prog in manifest["programs"]:
+        assert os.path.getsize(os.path.join(out, prog["file"])) \
+            == prog["bytes"] > 0
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f)["jax_version"] == jax.__version__
+
+    served = load_exported_predictor(out, tokenizer)
+    assert served.predict(SENTS) == crf_predictor.predict(
+        SENTS + [SENTS[-1]])[:3]                      # live pads to rung 4
+    # the single-sentence path rides the b1 program
+    assert served.predict(SENTS[:1]) == crf_predictor.predict(SENTS[:1])
+
+
+def test_crf_bundle_oversized_batch_raises(crf_predictor, tokenizer,
+                                           tmp_path):
+    out = str(tmp_path / "bundle")
+    export_predictor(crf_predictor, out, batch_sizes=(2,), platforms=("cpu",))
+    served = load_exported_predictor(out, tokenizer)
+    with pytest.raises(ValueError, match="largest exported rung"):
+        served.predict(SENTS)
+    # predict_many splits the stream into rung-sized chunks instead
+    got = served.predict_many(SENTS, batch_size=2)
+    assert got == crf_predictor.predict_many(SENTS, batch_size=2)
+
+
+def test_span_bundle_roundtrip(tokenizer, tmp_path):
+    cfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
+                 max_answer_length=4, logit_threshold=-100.0, bf16=False)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    live = SpanPredictor(cfg, bert_cfg, params, tokenizer)
+
+    out = str(tmp_path / "bundle")
+    manifest = export_predictor(live, out, batch_sizes=(4,),
+                                platforms=("cpu",))
+    assert manifest["pipeline"] == "span"
+    served = load_exported_predictor(out, tokenizer)
+    # sentences the random tiny model proposes spans for (as in test_infer)
+    sents = ["great phone bad battery", "nice view", SENTS[0]]
+    want = live.predict(sents + [sents[-1]])[:3]
+    assert served.predict(sents) == want
+    assert any(len(p) > 0 for p in want)              # non-vacuous
+    with pytest.raises(ValueError, match="text-only"):
+        served.predict(sents[:1], images=np.zeros((1, 224, 224, 3),
+                                                  np.float32))
+
+
+def test_multimodal_crf_bundle_roundtrip(tokenizer, tmp_path):
+    """Prefix runs: the frozen guide program + decode-with-guides variant
+    reproduce the live image path; text-only requests still work."""
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    live = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                        resnet_params=resnet)
+
+    out = str(tmp_path / "bundle")
+    manifest = export_predictor(live, out, batch_sizes=(2,),
+                                platforms=("cpu",))
+    assert manifest["multimodal"]
+    names = {p["name"] for p in manifest["programs"]}
+    assert names == {"crf_decode_b2", "guides_b2", "crf_decode_guides_b2"}
+
+    served = load_exported_predictor(out, tokenizer)
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 224, 224, 3).astype(np.float32)
+    assert served.predict(SENTS[:2], images=images) \
+        == live.predict(SENTS[:2], images=images)
+    assert served.predict(SENTS[:2]) == live.predict(SENTS[:2])
+
+
+def test_exported_predictor_behind_batching_server(crf_predictor, tokenizer,
+                                                   tmp_path):
+    """The bundle slots straight into the online tier (dispatch/collect)."""
+    from mtvaf_tpu.serve import BatchingServer
+
+    out = str(tmp_path / "bundle")
+    export_predictor(crf_predictor, out, batch_sizes=(1, 4),
+                     platforms=("cpu",))
+    served = load_exported_predictor(out, tokenizer)
+    want = crf_predictor.predict(SENTS + [SENTS[-1]])[:3]
+    with BatchingServer(served, max_batch=4, max_wait_ms=20.0) as server:
+        futs = [server.submit(s) for s in SENTS]
+        got = [f.result(timeout=120) for f in futs]
+    assert got == want
+
+
+def test_multiplatform_lowering(crf_predictor, tokenizer, tmp_path):
+    """Default platforms=('cpu','tpu') lowers both targets into one
+    artifact; the cpu half must still execute here."""
+    out = str(tmp_path / "bundle")
+    manifest = export_predictor(crf_predictor, out, batch_sizes=(1,))
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    served = load_exported_predictor(out, tokenizer)
+    assert served.predict(SENTS[:1]) == crf_predictor.predict(SENTS[:1])

@@ -193,3 +193,78 @@ def test_warmup_compiles_every_rung():
     with BatchingServer(fake, batch_shapes=(1, 4, 16)) as server:
         server.warmup()
     assert fake.calls == [1, 4, 16]
+
+
+# ----------------------------------------------------- multi-device replicas
+
+
+class _ReplicaFake(_RecordingPredictor):
+    """Fake whose to_device() returns a child recorder tagged by device."""
+
+    def __init__(self, delay_s=0.0):
+        super().__init__(delay_s=delay_s)
+        self.children = []
+
+    def to_device(self, device):
+        child = _RecordingPredictor(delay_s=self.delay_s)
+        child.device = device
+        self.children.append(child)
+        return child
+
+
+def test_replicated_workers_share_the_queue():
+    """devices=[...] builds one replica + worker per device; under load with
+    slow replicas, the spillover batches land on the other workers."""
+    fake = _ReplicaFake(delay_s=0.03)
+    with BatchingServer(fake, max_batch=4, max_wait_ms=2.0,
+                        devices=["d0", "d1", "d2"]) as server:
+        futs = [server.submit(f"r{i}") for i in range(48)]
+        results = [f.result(timeout=30) for f in futs]
+    for i, res in enumerate(results):
+        assert res == [(f"r{i}", "POS")]
+    assert len(fake.children) == 3
+    assert [c.device for c in fake.children] == ["d0", "d1", "d2"]
+    stats = server.stats()
+    assert stats["replicas"] == 3
+    assert stats["served"] == 48
+    # 12 batches of work against a 30 ms-per-batch replica: one worker
+    # alone cannot have drained the queue
+    busy = [n for n in stats["replica_batches"] if n > 0]
+    assert len(busy) >= 2
+    assert sum(stats["replica_batches"]) == stats["batches"]
+
+
+def test_replica_warmup_touches_every_replica():
+    fake = _ReplicaFake()
+    with BatchingServer(fake, batch_shapes=(1, 4),
+                        devices=["a", "b"]) as server:
+        server.warmup()
+    for child in fake.children:
+        assert sorted(child.calls) == [1, 4]
+    assert fake.calls == []              # the template predictor never runs
+
+
+def test_real_predictor_replicated_across_devices(predictor):
+    """End-to-end over real local devices: per-replica params live on
+    distinct devices and results match the single-device predictor."""
+    devices = jax.local_devices()[:4]
+    if len(devices) < 2:
+        pytest.skip("needs >=2 local devices")
+    sents = [f"review number {i} was great" for i in range(32)]
+    want = predictor.predict_many(sents, batch_size=4)
+    with BatchingServer(predictor, max_batch=4, max_wait_ms=2.0,
+                        devices=devices) as server:
+        server.warmup()
+        futs = [server.submit(s) for s in sents]
+        got = [f.result(timeout=120) for f in futs]
+    assert got == want
+    seen = set()
+    for p in server._predictors:
+        leaf_devs = {d for leaf in jax.tree_util.tree_leaves(p.params)
+                     for d in leaf.devices()}
+        assert len(leaf_devs) == 1
+        seen |= leaf_devs
+    assert len(seen) == len(devices)
+    stats = server.stats()
+    assert stats["served"] == 32          # warmup bypasses the queue
+    assert sum(stats["replica_batches"]) == stats["batches"]
