@@ -34,6 +34,10 @@ def main(argv=None):
                         "is tpu-only)")
     p.add_argument("--bert_name", default=None,
                    help="override the run's tokenizer directory")
+    p.add_argument("--share_weights", action="store_true",
+                   help="store the weights ONCE per bundle (weights.npz) "
+                        "instead of baking them into every rung's program "
+                        "— ~param bytes total for any ladder length")
     args = p.parse_args(argv)
 
     from ..export import export_predictor
@@ -44,7 +48,8 @@ def main(argv=None):
     manifest = export_predictor(
         predictor, args.out,
         batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
-        platforms=[s.strip() for s in args.platforms.split(",")])
+        platforms=[s.strip() for s in args.platforms.split(",")],
+        bake_weights=not args.share_weights)
     total = sum(prog["bytes"] for prog in manifest["programs"])
     logger.info("wrote %d programs (%.1f MB) to %s",
                 len(manifest["programs"]), total / 1e6, args.out)

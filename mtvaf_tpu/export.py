@@ -32,10 +32,13 @@ Scope and caveats:
   a predictor whose eval attention resolved to the Pallas kernel
   (long-sequence configs) is TPU-only — export it with
   ``platforms=("tpu",)``.
-* Size: the weights are baked into EACH rung's program (~param bytes per
-  rung — 435 MB per rung for fp32 BERT-base), the price of fully
-  self-contained artifacts.  Keep the rung ladder short (1 + the serving
-  batch), or serve the live predictor where a weights file is acceptable.
+* Size: by default the weights are baked into EACH rung's program
+  (~param bytes per rung — 435 MB per rung for fp32 BERT-base), the
+  price of fully self-contained artifacts; keep the ladder short.  For
+  long ladders, ``bake_weights=False`` stores the weights ONCE per
+  bundle (weights.npz, still no model code at serve time) and the
+  programs take the param tree as their leading runtime argument —
+  total size stays ~param bytes regardless of rung count.
 """
 
 from __future__ import annotations
@@ -86,13 +89,68 @@ def _export_one(fn, specs: Sequence, platforms) -> bytes:
     return bytes(exported.serialize())
 
 
+def _tree_spec(tree):
+    return jax.tree.map(lambda x: _spec(x.shape, x.dtype), tree)
+
+
+def _save_weights(path: str, tree):
+    """Param tree (nested dicts/lists/tuples of arrays) → one npz of
+    leaves plus a JSON-able skeleton whose leaf entries are the npz keys.
+
+    The skeleton goes into the manifest, so the bundle loader rebuilds
+    the EXACT pytree (dict vs list vs tuple) with no model code and no
+    pickles."""
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if not isinstance(k, str) or "/" in k or k == "__seq__":
+                    raise ValueError(f"unsupported param dict key {k!r}")
+                out[k] = walk(v, prefix + (k,))
+            return out
+        if isinstance(node, (list, tuple)):
+            return {"__seq__": type(node).__name__,
+                    "items": [walk(v, prefix + (str(i),))
+                              for i, v in enumerate(node)]}
+        key = "/".join(prefix)
+        flat[key] = np.asarray(node)
+        return key
+
+    skeleton = walk(tree, ())
+    np.savez(path, **flat)
+    return skeleton
+
+
+def _load_weights(path: str, skeleton):
+    z = np.load(path)
+
+    def build(node):
+        if isinstance(node, str):
+            return z[node]
+        if node.get("__seq__"):
+            seq = [build(v) for v in node["items"]]
+            return seq if node["__seq__"] == "list" else tuple(seq)
+        return {k: build(v) for k, v in node.items()}
+
+    return build(skeleton)
+
+
 def export_predictor(predictor, out_dir: str, *,
                      batch_sizes: Sequence[int] = (1, 16),
-                     platforms: Sequence[str] = ("cpu", "tpu")) -> Dict:
-    """Write a self-contained serving bundle for ``predictor``.
+                     platforms: Sequence[str] = ("cpu", "tpu"),
+                     bake_weights: bool = True) -> Dict:
+    """Write a serving bundle for ``predictor``.
 
-    One serialized program per (stage, batch rung); weights are closure
-    constants inside each artifact.  Returns the manifest dict."""
+    One serialized program per (stage, batch rung).  With
+    ``bake_weights=True`` (default) the weights are closure constants
+    inside EACH artifact — fully self-contained, ~param bytes per rung.
+    With ``bake_weights=False`` the programs take the param tree as a
+    runtime argument and the weights are stored ONCE per bundle
+    (weights.npz, slash-joined key paths — still no model code at serve
+    time), so a long rung ladder stays ~param bytes total.  Returns the
+    manifest dict."""
     from dataclasses import asdict
 
     os.makedirs(out_dir, exist_ok=True)
@@ -105,7 +163,14 @@ def export_predictor(predictor, out_dir: str, *,
     programs = []
 
     def emit(name: str, fn, specs):
-        blob = _export_one(fn, specs, platforms)
+        """``fn(params, *args)``; baked = params closed over, shared =
+        params becomes the program's leading runtime argument."""
+        if bake_weights:
+            run = lambda *a, _f=fn: _f(params, *a)          # noqa: E731
+            blob = _export_one(run, specs, platforms)
+        else:
+            blob = _export_one(fn, [_tree_spec(params)] + list(specs),
+                               platforms)
         fname = name + ".jaxexp"
         with open(os.path.join(out_dir, fname), "wb") as f:
             f.write(blob)
@@ -113,12 +178,18 @@ def export_predictor(predictor, out_dir: str, *,
                          "bytes": len(blob)})
 
     multimodal = bool(cfg.use_prefix and predictor.resnet_params is not None)
+    weights_tree = resnet_tree = None
+    if not bake_weights:
+        weights_tree = _save_weights(os.path.join(out_dir, "weights.npz"),
+                                     params)
+        if multimodal:
+            resnet_tree = _save_weights(os.path.join(out_dir, "resnet.npz"),
+                                        predictor.resnet_params)
     for rung in rungs:
         if is_span:
             extract = predictor._extract
             classify = predictor._classify
-            emit(f"span_extract_b{rung}",
-                 lambda batch, _e=extract: _e(params, batch),
+            emit(f"span_extract_b{rung}", extract,
                  [_span_batch_spec(cfg, rung)])
             # the classify program's seq input is exactly the extract
             # program's seq output — derive its spec, don't guess dtypes
@@ -130,29 +201,41 @@ def export_predictor(predictor, out_dir: str, *,
                 # raw-text serving has no dependency parses: freeze the
                 # no-sidecar branch (None adjacency skips the re-encode)
                 emit(f"span_classify_b{rung}",
-                     lambda seq, pairs, _c=classify: _c(params, seq, pairs,
-                                                        None, None),
+                     lambda p, seq, pairs, _c=classify: _c(p, seq, pairs,
+                                                           None, None),
                      [seq_spec, pairs_spec])
             else:
-                emit(f"span_classify_b{rung}",
-                     lambda seq, pairs, _c=classify: _c(params, seq, pairs),
+                emit(f"span_classify_b{rung}", classify,
                      [seq_spec, pairs_spec])
         else:
             decode = predictor._decode
-            emit(f"crf_decode_b{rung}",
-                 lambda batch, _d=decode: _d(params, batch),
-                 [_crf_batch_spec(cfg, rung)])
+            emit(f"crf_decode_b{rung}", decode, [_crf_batch_spec(cfg, rung)])
             if multimodal:
+                from .nn.models import compute_visual_guides
                 guide_fn = predictor._guide_fn
-                emit(f"guides_b{rung}",
-                     lambda imgs, aux, _g=guide_fn: _g(imgs, aux),
-                     [_spec((rung, 224, 224, 3), jnp.float32),
-                      _spec((rung, 3, 224, 224, 3), jnp.float32)])
-                mg, ag = jax.eval_shape(
-                    guide_fn, _spec((rung, 224, 224, 3), jnp.float32),
-                    _spec((rung, 3, 224, 224, 3), jnp.float32))
-                emit(f"crf_decode_guides_b{rung}",
-                     lambda batch, _d=decode: _d(params, batch),
+
+                def guide_call(rp, imgs, aux):
+                    return compute_visual_guides(rp, imgs, aux,
+                                                 depth=cfg.resnet_depth)
+
+                img_specs = [_spec((rung, 224, 224, 3), jnp.float32),
+                             _spec((rung, 3, 224, 224, 3), jnp.float32)]
+                if bake_weights:
+                    emit(f"guides_b{rung}",
+                         lambda _rp, imgs, aux, _g=guide_fn: _g(imgs, aux),
+                         img_specs)
+                else:
+                    blob = _export_one(
+                        guide_call,
+                        [_tree_spec(predictor.resnet_params)] + img_specs,
+                        platforms)
+                    fname = f"guides_b{rung}.jaxexp"
+                    with open(os.path.join(out_dir, fname), "wb") as f:
+                        f.write(blob)
+                    programs.append({"name": f"guides_b{rung}",
+                                     "file": fname, "bytes": len(blob)})
+                mg, ag = jax.eval_shape(guide_fn, *img_specs)
+                emit(f"crf_decode_guides_b{rung}", decode,
                      [{**_crf_batch_spec(cfg, rung),
                        "main_guides": _spec(mg.shape, mg.dtype),
                        "aux_guides": _spec(ag.shape, ag.dtype)}])
@@ -161,6 +244,9 @@ def export_predictor(predictor, out_dir: str, *,
         "format_version": _FORMAT_VERSION,
         "pipeline": "span" if is_span else "crf",
         "multimodal": multimodal,
+        "bake_weights": bake_weights,
+        "weights_tree": weights_tree,
+        "resnet_tree": resnet_tree,
         "rungs": list(rungs),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
@@ -201,11 +287,17 @@ class ExportedCrfPredictor(CrfPredictor):
 
     def __init__(self, cfg, bert_cfg, tokenizer, rungs: _ExportedRungs,
                  guide_rungs: Optional[_ExportedRungs] = None,
-                 mm_rungs: Optional[_ExportedRungs] = None):
+                 mm_rungs: Optional[_ExportedRungs] = None,
+                 weights=None, resnet_weights=None):
         super().__init__(cfg, bert_cfg, None, tokenizer)
         self._rungs = rungs
         self._guide_rungs = guide_rungs
         self._mm_rungs = mm_rungs
+        # shared-weights bundles: the param tree is the programs' leading
+        # runtime argument; baked bundles have it as closure constants
+        self._wargs = () if weights is None else (weights,)
+        self._guide_wargs = () if resnet_weights is None \
+            else (resnet_weights,)
 
     def dispatch(self, sentences, images=None, aux_images=None):
         n = len(sentences)
@@ -225,10 +317,11 @@ class ExportedCrfPredictor(CrfPredictor):
             imgs = np.concatenate([images, pad]) if len(pad) else images
             aux = aux_images if aux_images is not None else \
                 np.zeros((imgs.shape[0], 3, 224, 224, 3), np.float32)
-            mg, ag = guide_prog.call(imgs, aux)
-            out = mm_prog.call({**host, "main_guides": mg, "aux_guides": ag})
+            mg, ag = guide_prog.call(*self._guide_wargs, imgs, aux)
+            out = mm_prog.call(*self._wargs,
+                               {**host, "main_guides": mg, "aux_guides": ag})
         else:
-            out = prog.call(host)
+            out = prog.call(*self._wargs, host)
         # unpadded sentences: collect's zip truncates the padding rows, so
         # callers get exactly len(sentences) results (the live predictor
         # leaves padding to its callers — here the rung pad is internal)
@@ -240,10 +333,11 @@ class ExportedSpanPredictor(SpanPredictor):
     between the two frozen programs is the live predictor's own code)."""
 
     def __init__(self, cfg, bert_cfg, tokenizer, extract: _ExportedRungs,
-                 classify: _ExportedRungs):
+                 classify: _ExportedRungs, weights=None):
         super().__init__(cfg, bert_cfg, None, tokenizer)
         self._extract_rungs = extract
         self._classify_rungs = classify
+        self._wargs = () if weights is None else (weights,)
 
     def dispatch(self, sentences, images=None, aux_images=None, gcn=None):
         if images is not None or gcn is not None:
@@ -252,7 +346,7 @@ class ExportedSpanPredictor(SpanPredictor):
         rung, prog = self._extract_rungs.fit(n)
         padded = list(sentences) + [sentences[-1]] * (rung - n)
         examples, feats, host = self._make_host_batch(padded)
-        s_logits, e_logits, seq, _ = prog.call(host)
+        s_logits, e_logits, seq, _ = prog.call(*self._wargs, host)
         return (n, examples, feats, s_logits, e_logits, seq, rung)
 
     def collect(self, handle):
@@ -262,7 +356,7 @@ class ExportedSpanPredictor(SpanPredictor):
                                                      s_np, e_np)
         pairs = np.stack([all_ss, all_se]).astype(np.int32)
         _, classify = self._classify_rungs.fit(rung)
-        ac = np.asarray(classify.call(seq, pairs))
+        ac = np.asarray(classify.call(*self._wargs, seq, pairs))
         return self._to_results(examples, feats, all_ss, all_se, all_masks,
                                 ac.argmax(axis=-1))[:n]     # drop rung pad
 
@@ -289,14 +383,26 @@ def load_exported_predictor(out_dir: str, tokenizer):
         return _ExportedRungs(
             {r: _load_program(out_dir, f"{prefix}_b{r}") for r in rungs})
 
+    weights = resnet_weights = None
+    if not manifest.get("bake_weights", True):
+        weights = _load_weights(os.path.join(out_dir, "weights.npz"),
+                                manifest["weights_tree"])
+        if manifest["multimodal"]:
+            resnet_weights = _load_weights(
+                os.path.join(out_dir, "resnet.npz"),
+                manifest["resnet_tree"])
+
     if manifest["pipeline"] == "span":
         return ExportedSpanPredictor(cfg, bert_cfg, tokenizer,
                                      load_rungs("span_extract"),
-                                     load_rungs("span_classify"))
+                                     load_rungs("span_classify"),
+                                     weights=weights)
     guide_rungs = mm_rungs = None
     if manifest["multimodal"]:
         guide_rungs = load_rungs("guides")
         mm_rungs = load_rungs("crf_decode_guides")
     return ExportedCrfPredictor(cfg, bert_cfg, tokenizer,
                                 load_rungs("crf_decode"),
-                                guide_rungs=guide_rungs, mm_rungs=mm_rungs)
+                                guide_rungs=guide_rungs, mm_rungs=mm_rungs,
+                                weights=weights,
+                                resnet_weights=resnet_weights)

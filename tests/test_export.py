@@ -144,3 +144,56 @@ def test_multiplatform_lowering(crf_predictor, tokenizer, tmp_path):
     assert manifest["platforms"] == ["cpu", "tpu"]
     served = load_exported_predictor(out, tokenizer)
     assert served.predict(SENTS[:1]) == crf_predictor.predict(SENTS[:1])
+
+
+def test_shared_weights_bundle_roundtrip(crf_predictor, tokenizer, tmp_path):
+    """bake_weights=False: programs take the param tree at runtime,
+    weights.npz stores it once; predictions identical to the baked mode
+    and the live predictor."""
+    out = str(tmp_path / "bundle")
+    manifest = export_predictor(crf_predictor, out, batch_sizes=(1, 4),
+                                platforms=("cpu",), bake_weights=False)
+    assert manifest["bake_weights"] is False
+    assert os.path.exists(os.path.join(out, "weights.npz"))
+    served = load_exported_predictor(out, tokenizer)
+    assert served.predict(SENTS) == crf_predictor.predict(
+        SENTS + [SENTS[-1]])[:3]
+    # the whole point: program bytes no longer scale with the param count
+    param_bytes = sum(np.asarray(x).nbytes for x in
+                      jax.tree_util.tree_leaves(crf_predictor.params))
+    for prog in manifest["programs"]:
+        assert prog["bytes"] < param_bytes / 2
+
+
+def test_shared_weights_multimodal_and_span(tokenizer, tmp_path):
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    # multimodal CRF: separate resnet.npz feeds the guide program
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    live = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                        resnet_params=resnet)
+    out = str(tmp_path / "mm")
+    export_predictor(live, out, batch_sizes=(2,), platforms=("cpu",),
+                     bake_weights=False)
+    assert os.path.exists(os.path.join(out, "resnet.npz"))
+    served = load_exported_predictor(out, tokenizer)
+    images = np.random.RandomState(0).rand(2, 224, 224, 3).astype(np.float32)
+    assert served.predict(SENTS[:2], images=images) \
+        == live.predict(SENTS[:2], images=images)
+
+    # span: both stages take the shared tree
+    scfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
+                  max_answer_length=4, logit_threshold=-100.0, bf16=False)
+    sparams = init_span_model_params(jax.random.PRNGKey(0), scfg, bert_cfg)
+    slive = SpanPredictor(scfg, bert_cfg, sparams, tokenizer)
+    sout = str(tmp_path / "span")
+    export_predictor(slive, sout, batch_sizes=(4,), platforms=("cpu",),
+                     bake_weights=False)
+    sserved = load_exported_predictor(sout, tokenizer)
+    sents = ["great phone bad battery", "nice view", SENTS[0]]
+    assert sserved.predict(sents) == slive.predict(sents + [sents[-1]])[:3]

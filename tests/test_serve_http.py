@@ -189,3 +189,52 @@ def test_http_with_batch_shape_ladder(trained_run):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_http_multi_replica(trained_run):
+    """HTTP chain over devices=[...]: concurrent posts spread across
+    replica workers and results match the single predictor."""
+    from http.server import ThreadingHTTPServer
+
+    import jax
+
+    from mtvaf_tpu.infer import load_predictor
+
+    devices = jax.local_devices()[:2]
+    assert len(devices) == 2                    # conftest forces 8 virtual
+    predictor = load_predictor(str(trained_run))
+    sents = [f"multi replica sentence {i}" for i in range(16)]
+    want = {s: r for s, r in zip(sents, predictor.predict_many(
+        sents, batch_size=4))}
+    with BatchingServer(predictor, max_batch=4, max_wait_ms=2.0,
+                        devices=devices) as server:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), build_app(server))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            got = {}
+            lock = threading.Lock()
+
+            def hit(s):
+                code, body = _http(f"http://127.0.0.1:{port}/predict",
+                                   {"sentences": [s]})
+                assert code == 200
+                with lock:
+                    got[s] = body["results"][0]
+            threads = [threading.Thread(target=hit, args=(s,))
+                       for s in sents]
+            for x in threads:
+                x.start()
+            for x in threads:
+                x.join()
+            code, stats = _http(f"http://127.0.0.1:{port}/stats")
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+    assert code == 200
+    assert stats["replicas"] == 2 and stats["served"] == 16
+    assert sum(stats["replica_batches"]) == stats["batches"]
+    # JSON round-trips the (term, polarity) tuples as lists
+    assert got == {s: [[term, pol] for term, pol in r]
+                   for s, r in want.items()}
