@@ -10,6 +10,8 @@ zero extra dependencies, one compiled device program.
   -> {"results": [[["pizza", "POS"]]]}
   curl -s localhost:8088/stats
   -> {"served": 1, "p50_ms": ..., "mean_batch": ...}
+  curl -s localhost:8088/metrics        # Prometheus text exposition
+  -> mtvaf_served_total 1 ... mtvaf_latency_ms{quantile="0.5"} ...
 
 Multimodal (prefix) runs accept per-sentence images as base64-encoded
 JPEG/PNG aligned with ``sentences`` (null entries allowed):
@@ -40,6 +42,43 @@ def _decode_image(b64: str):
     return process_image_bytes(base64.b64decode(b64))
 
 
+def _prometheus(stats: dict) -> str:
+    """BatchingServer.stats() → Prometheus text exposition (0.0.4)."""
+    lines = [
+        "# HELP mtvaf_served_total Requests served.",
+        "# TYPE mtvaf_served_total counter",
+        f"mtvaf_served_total {stats.get('served', 0)}",
+        "# HELP mtvaf_replicas Predictor replicas (serving devices).",
+        "# TYPE mtvaf_replicas gauge",
+        f"mtvaf_replicas {stats.get('replicas', 1)}",
+    ]
+    if "batches" in stats:
+        lines += [
+            "# HELP mtvaf_batches_total Device batches dispatched "
+            "(recent window).",
+            "# TYPE mtvaf_batches_total counter",
+            f"mtvaf_batches_total {stats['batches']}",
+            "# HELP mtvaf_mean_batch Mean batch occupancy "
+            "(recent window).",
+            "# TYPE mtvaf_mean_batch gauge",
+            f"mtvaf_mean_batch {stats['mean_batch']}",
+            "# HELP mtvaf_latency_ms Request latency quantiles "
+            "(recent window).",
+            "# TYPE mtvaf_latency_ms summary",
+        ]
+        for q, key in (("0.5", "p50_ms"), ("0.95", "p95_ms"),
+                       ("0.99", "p99_ms")):
+            lines.append(
+                f'mtvaf_latency_ms{{quantile="{q}"}} {stats[key]}')
+    rb = stats.get("replica_batches", [])
+    if rb:
+        lines += ["# HELP mtvaf_replica_batches_total Batches per replica.",
+                  "# TYPE mtvaf_replica_batches_total counter"]
+        lines += [f'mtvaf_replica_batches_total{{replica="{i}"}} {n}'
+                  for i, n in enumerate(rb)]
+    return "\n".join(lines) + "\n"
+
+
 def build_app(server):
     """Request handler class bound to a BatchingServer (separable for
     tests)."""
@@ -60,6 +99,14 @@ def build_app(server):
         def do_GET(self):
             if self.path == "/stats":
                 self._reply(200, server.stats())
+            elif self.path == "/metrics":
+                body = _prometheus(server.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/healthz":
                 self._reply(200, {"ok": True})
             else:

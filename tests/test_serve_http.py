@@ -229,12 +229,39 @@ def test_http_multi_replica(trained_run):
             for x in threads:
                 x.join()
             code, stats = _http(f"http://127.0.0.1:{port}/stats")
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+                metrics = r.read().decode()
+                assert r.headers["Content-Type"].startswith("text/plain")
         finally:
             httpd.shutdown()
             httpd.server_close()
+    assert "mtvaf_served_total 16" in metrics
+    assert 'mtvaf_replica_batches_total{replica="0"}' in metrics
     assert code == 200
     assert stats["replicas"] == 2 and stats["served"] == 16
     assert sum(stats["replica_batches"]) == stats["batches"]
     # JSON round-trips the (term, polarity) tuples as lists
     assert got == {s: [[term, pol] for term, pol in r]
                    for s, r in want.items()}
+
+
+def test_prometheus_exposition_format():
+    from mtvaf_tpu.cli.serve_main import _prometheus
+
+    text = _prometheus({"served": 42, "replicas": 2, "batches": 7,
+                        "mean_batch": 6.0, "p50_ms": 31.0, "p95_ms": 40.0,
+                        "p99_ms": 55.0, "replica_batches": [4, 3]})
+    assert "mtvaf_served_total 42" in text
+    assert "mtvaf_replicas 2" in text
+    assert 'mtvaf_latency_ms{quantile="0.5"} 31.0' in text
+    assert 'mtvaf_replica_batches_total{replica="1"} 3' in text
+    assert text.endswith("\n")
+    # every non-comment line is "name{labels} value"
+    for line in text.strip().splitlines():
+        if not line.startswith("#"):
+            name, value = line.rsplit(" ", 1)
+            float(value)
+    # idle server (no batches yet) still renders
+    idle = _prometheus({"served": 0, "replicas": 1})
+    assert "mtvaf_served_total 0" in idle and "quantile" not in idle
