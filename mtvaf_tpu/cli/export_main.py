@@ -34,10 +34,12 @@ def main(argv=None):
                         "is tpu-only)")
     p.add_argument("--bert_name", default=None,
                    help="override the run's tokenizer directory")
-    p.add_argument("--share_weights", action="store_true",
-                   help="store the weights ONCE per bundle (weights.npz) "
-                        "instead of baking them into every rung's program "
-                        "— ~param bytes total for any ladder length")
+    p.add_argument("--bake_weights", action="store_true",
+                   help="bake the weights into every rung's program "
+                        "(fully self-contained artifacts, ~param bytes "
+                        "PER RUNG; remote-compile backends may cap the "
+                        "request size).  Default: weights.npz stored once "
+                        "per bundle, programs stay ~KB")
     args = p.parse_args(argv)
 
     from ..export import export_predictor
@@ -49,7 +51,7 @@ def main(argv=None):
         predictor, args.out,
         batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
         platforms=[s.strip() for s in args.platforms.split(",")],
-        bake_weights=not args.share_weights)
+        bake_weights=args.bake_weights)
     total = sum(prog["bytes"] for prog in manifest["programs"])
     logger.info("wrote %d programs (%.1f MB) to %s",
                 len(manifest["programs"]), total / 1e6, args.out)

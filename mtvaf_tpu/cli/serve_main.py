@@ -1,9 +1,11 @@
 """``mtvaf-serve`` — HTTP serving front-end over a trained run.
 
 Loads a predictor from a training run's ``--save_path`` (run_config.json +
-best_model.npz, see ``infer.load_predictor``) and serves it through the
-dynamic-batching ``BatchingServer`` on a stdlib ThreadingHTTPServer —
-zero extra dependencies, one compiled device program.
+best_model.npz, see ``infer.load_predictor``) — or a frozen deployment
+bundle via ``--bundle`` (mtvaf-export artifacts; byte-stable programs, no
+model code) — and serves it through the dynamic-batching
+``BatchingServer`` on a stdlib ThreadingHTTPServer — zero extra
+dependencies, one compiled device program.
 
   mtvaf-serve --save_path out/ --port 8088
   curl -s localhost:8088/predict -d '{"sentences": ["the pizza was great"]}'
@@ -151,9 +153,14 @@ def build_app(server):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser("mtvaf-serve")
-    p.add_argument("--save_path", required=True,
+    p.add_argument("--save_path", default=None,
                    help="training run directory (run_config.json + "
                         "best_model.npz)")
+    p.add_argument("--bundle", default=None,
+                   help="serve a frozen mtvaf-export bundle instead of a "
+                        "run directory (byte-stable programs, no model "
+                        "code; --serve_devices stays 1 — frozen programs "
+                        "pin their device placement)")
     p.add_argument("--bert_name", default=None,
                    help="override the run's tokenizer directory")
     p.add_argument("--host", default="127.0.0.1")
@@ -179,11 +186,19 @@ def main(argv=None):
 
     from http.server import ThreadingHTTPServer
 
-    from ..infer import load_predictor
     from ..serve import BatchingServer
 
-    logger.info("loading predictor from %s", args.save_path)
-    predictor = load_predictor(args.save_path, bert_name=args.bert_name)
+    if bool(args.save_path) == bool(args.bundle):
+        raise SystemExit("pass exactly one of --save_path / --bundle")
+    if args.bundle:
+        from ..export import load_exported_predictor
+        logger.info("loading frozen bundle from %s", args.bundle)
+        predictor = load_exported_predictor(args.bundle,
+                                            bert_name=args.bert_name)
+    else:
+        from ..infer import load_predictor
+        logger.info("loading predictor from %s", args.save_path)
+        predictor = load_predictor(args.save_path, bert_name=args.bert_name)
     if predictor.cfg.use_prefix:
         logger.warning(
             "prefix run: POST base64 'images' aligned with 'sentences' for "

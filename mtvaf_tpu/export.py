@@ -4,12 +4,12 @@ The reference's only deployment story is re-running its trainer with
 ``--only_test`` (/root/reference/MTVAF_training.py:391-394).  This module
 goes the other way, the JAX-native one: :func:`export_predictor` lowers a
 predictor's device programs through ``jax.export`` into versioned
-StableHLO artifacts with the trained weights BAKED IN as constants — one
-file per compiled batch rung — plus a JSON manifest.  The bundle is
-self-contained: serving it needs jax and a tokenizer vocab, but none of
-this framework's model code and no weights file, and the program is
-byte-frozen (no Python-side drift between what was validated and what
-serves).
+StableHLO artifacts — one file per compiled batch rung — plus a JSON
+manifest and the trained weights (one weights.npz by default, or baked
+into each program as constants with ``bake_weights=True``).  Serving the
+bundle needs jax and a tokenizer vocab, but none of this framework's
+model code, and the program is byte-frozen (no Python-side drift between
+what was validated and what serves).
 
     >>> export_predictor(predictor, "bundle/", batch_sizes=(1, 16))
     >>> served = load_exported_predictor("bundle/", tokenizer)
@@ -32,13 +32,16 @@ Scope and caveats:
   a predictor whose eval attention resolved to the Pallas kernel
   (long-sequence configs) is TPU-only — export it with
   ``platforms=("tpu",)``.
-* Size: by default the weights are baked into EACH rung's program
-  (~param bytes per rung — 435 MB per rung for fp32 BERT-base), the
-  price of fully self-contained artifacts; keep the ladder short.  For
-  long ladders, ``bake_weights=False`` stores the weights ONCE per
-  bundle (weights.npz, still no model code at serve time) and the
-  programs take the param tree as their leading runtime argument —
-  total size stays ~param bytes regardless of rung count.
+* Size: by default the weights are stored ONCE per bundle (weights.npz;
+  a JSON skeleton in the manifest rebuilds the exact param pytree — no
+  model code, no pickles) and the programs take the param tree as their
+  leading runtime argument, so each program is ~KB and total size is
+  ~param bytes for any ladder length.  ``bake_weights=True`` instead
+  bakes the weights into EACH rung's program as closure constants —
+  fully self-contained single files, but ~param bytes per rung (435 MB
+  for fp32 BERT-base), and the constants ride every compile request:
+  remote-compile backends with request caps reject them (HTTP 413
+  observed at BERT-base size on the tunneled dev attach).
 """
 
 from __future__ import annotations
@@ -140,17 +143,18 @@ def _load_weights(path: str, skeleton):
 def export_predictor(predictor, out_dir: str, *,
                      batch_sizes: Sequence[int] = (1, 16),
                      platforms: Sequence[str] = ("cpu", "tpu"),
-                     bake_weights: bool = True) -> Dict:
+                     bake_weights: bool = False) -> Dict:
     """Write a serving bundle for ``predictor``.
 
-    One serialized program per (stage, batch rung).  With
-    ``bake_weights=True`` (default) the weights are closure constants
-    inside EACH artifact — fully self-contained, ~param bytes per rung.
-    With ``bake_weights=False`` the programs take the param tree as a
-    runtime argument and the weights are stored ONCE per bundle
-    (weights.npz, slash-joined key paths — still no model code at serve
-    time), so a long rung ladder stays ~param bytes total.  Returns the
-    manifest dict."""
+    One serialized program per (stage, batch rung).  Default: the
+    programs take the param tree as a runtime argument and the weights
+    are stored ONCE per bundle (weights.npz + a manifest skeleton —
+    still no model code at serve time), so programs stay ~KB and a long
+    rung ladder stays ~param bytes total.  ``bake_weights=True`` makes
+    every artifact fully self-contained (weights as closure constants)
+    at ~param bytes PER RUNG — and the constants ride every compile
+    request, which remote-compile backends may cap (module docstring).
+    Returns the manifest dict."""
     from dataclasses import asdict
 
     os.makedirs(out_dir, exist_ok=True)
@@ -281,7 +285,16 @@ class _ExportedRungs:
             f"split the batch")
 
 
-class ExportedCrfPredictor(CrfPredictor):
+class _NoReplicate:
+    def to_device(self, device):
+        raise ValueError(
+            "exported bundles pin their device placement (the weights are "
+            "program constants); for multi-chip serving load the bundle "
+            "once per process, or serve the live predictor with "
+            "BatchingServer(..., devices=[...])")
+
+
+class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
     """CrfPredictor served from a bundle: host tokenize/decode code is the
     live predictor's own; the device call is the frozen artifact."""
 
@@ -328,7 +341,7 @@ class ExportedCrfPredictor(CrfPredictor):
         return (sentences, host["label_ids"], host["input_mask"], out)
 
 
-class ExportedSpanPredictor(SpanPredictor):
+class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
     """SpanPredictor served from a bundle (text-only; the host NMS seam
     between the two frozen programs is the live predictor's own code)."""
 
@@ -361,12 +374,15 @@ class ExportedSpanPredictor(SpanPredictor):
                                 ac.argmax(axis=-1))[:n]     # drop rung pad
 
 
-def load_exported_predictor(out_dir: str, tokenizer):
+def load_exported_predictor(out_dir: str, tokenizer=None, *,
+                            bert_name: str = None):
     """Rebuild a serving predictor from an :func:`export_predictor` bundle.
 
     ``tokenizer`` matches the training run's (`data.tokenization.
     build_tokenizer` on the same vocab) — tokenization is host code and is
-    not part of the frozen artifact."""
+    not part of the frozen artifact.  Default None rebuilds it from the
+    run's ``--bert_name`` directory recorded in the manifest (override the
+    directory with ``bert_name`` if the vocab moved)."""
     from .core.config import Config
     from .nn.bert import BertConfig
 
@@ -378,6 +394,11 @@ def load_exported_predictor(out_dir: str, tokenizer):
     cfg = Config(**manifest["config"])
     bert_cfg = BertConfig(**manifest["bert_config"])
     rungs = manifest["rungs"]
+    if tokenizer is None:
+        from .data.tokenization import build_tokenizer
+        from .native.binding import maybe_accelerate
+        tokenizer = maybe_accelerate(
+            build_tokenizer(bert_name or cfg.bert_name, cfg.do_lower_case))
 
     def load_rungs(prefix: str) -> _ExportedRungs:
         return _ExportedRungs(

@@ -42,8 +42,9 @@ def crf_predictor(tokenizer):
 def test_crf_bundle_roundtrip(crf_predictor, tokenizer, tmp_path):
     out = str(tmp_path / "bundle")
     manifest = export_predictor(crf_predictor, out, batch_sizes=(1, 4),
-                                platforms=("cpu",))
+                                platforms=("cpu",), bake_weights=True)
     assert manifest["pipeline"] == "crf" and manifest["rungs"] == [1, 4]
+    assert manifest["bake_weights"] is True
     for prog in manifest["programs"]:
         assert os.path.getsize(os.path.join(out, prog["file"])) \
             == prog["bytes"] > 0
@@ -78,7 +79,7 @@ def test_span_bundle_roundtrip(tokenizer, tmp_path):
 
     out = str(tmp_path / "bundle")
     manifest = export_predictor(live, out, batch_sizes=(4,),
-                                platforms=("cpu",))
+                                platforms=("cpu",), bake_weights=True)
     assert manifest["pipeline"] == "span"
     served = load_exported_predictor(out, tokenizer)
     # sentences the random tiny model proposes spans for (as in test_infer)
@@ -107,7 +108,7 @@ def test_multimodal_crf_bundle_roundtrip(tokenizer, tmp_path):
 
     out = str(tmp_path / "bundle")
     manifest = export_predictor(live, out, batch_sizes=(2,),
-                                platforms=("cpu",))
+                                platforms=("cpu",), bake_weights=True)
     assert manifest["multimodal"]
     names = {p["name"] for p in manifest["programs"]}
     assert names == {"crf_decode_b2", "guides_b2", "crf_decode_guides_b2"}
@@ -152,7 +153,7 @@ def test_shared_weights_bundle_roundtrip(crf_predictor, tokenizer, tmp_path):
     and the live predictor."""
     out = str(tmp_path / "bundle")
     manifest = export_predictor(crf_predictor, out, batch_sizes=(1, 4),
-                                platforms=("cpu",), bake_weights=False)
+                                platforms=("cpu",))       # shared = default
     assert manifest["bake_weights"] is False
     assert os.path.exists(os.path.join(out, "weights.npz"))
     served = load_exported_predictor(out, tokenizer)

@@ -265,3 +265,36 @@ def test_prometheus_exposition_format():
     # idle server (no batches yet) still renders
     idle = _prometheus({"served": 0, "replicas": 1})
     assert "mtvaf_served_total 0" in idle and "quantile" not in idle
+
+
+def test_http_serving_a_frozen_bundle(trained_run, tmp_path):
+    """mtvaf-serve --bundle: export the run, rebuild the predictor from
+    the bundle alone (tokenizer from the manifest's bert_name), serve it
+    over HTTP, and match the run-dir predictor's results."""
+    from http.server import ThreadingHTTPServer
+
+    from mtvaf_tpu.export import export_predictor, load_exported_predictor
+    from mtvaf_tpu.infer import load_predictor
+
+    live = load_predictor(str(trained_run))
+    bundle = str(tmp_path / "bundle")
+    export_predictor(live, bundle, batch_sizes=(4,), platforms=("cpu",),
+                     bake_weights=False)
+    served = load_exported_predictor(bundle)       # tokenizer from manifest
+    with pytest.raises(ValueError, match="pin their device placement"):
+        served.to_device(None)
+
+    sents = ["great pizza", "bad battery", "slow service"]
+    want = live.predict(sents + [sents[-1]])[:3]
+    with BatchingServer(served, max_batch=4, max_wait_ms=5.0) as server:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), build_app(server))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            code, body = _http(f"http://127.0.0.1:{port}/predict",
+                               {"sentences": sents})
+            assert code == 200
+            assert body["results"] == [[list(p) for p in r] for r in want]
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
