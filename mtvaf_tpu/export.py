@@ -373,6 +373,12 @@ class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
         return self._to_results(examples, feats, all_ss, all_se, all_masks,
                                 ac.argmax(axis=-1))[:n]     # drop rung pad
 
+    # The live SpanPredictor.predict_many drives its packed programs
+    # directly (self._run_packed/_classify — live-only internals); the
+    # exported predictor streams through its own dispatch/collect instead,
+    # which is exactly the CRF predictor's generic loop.
+    predict_many = CrfPredictor.predict_many
+
 
 def load_exported_predictor(out_dir: str, tokenizer=None, *,
                             bert_name: str = None):

@@ -198,3 +198,19 @@ def test_shared_weights_multimodal_and_span(tokenizer, tmp_path):
     sserved = load_exported_predictor(sout, tokenizer)
     sents = ["great phone bad battery", "nice view", SENTS[0]]
     assert sserved.predict(sents) == slive.predict(sents + [sents[-1]])[:3]
+
+
+def test_exported_span_predict_many(tokenizer, tmp_path):
+    """Exported span bundles stream via dispatch/collect (the live
+    predict_many drives live-only internals and must not be inherited)."""
+    cfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
+                 max_answer_length=4, logit_threshold=-100.0, bf16=False)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    live = SpanPredictor(cfg, bert_cfg, params, tokenizer)
+    out = str(tmp_path / "bundle")
+    export_predictor(live, out, batch_sizes=(4,), platforms=("cpu",))
+    served = load_exported_predictor(out, tokenizer)
+    sents = [f"review {i} great phone bad battery" for i in range(10)]
+    assert served.predict_many(sents, batch_size=4) \
+        == live.predict_many(sents, batch_size=4)
