@@ -50,6 +50,9 @@ def _prometheus(stats: dict) -> str:
         "# HELP mtvaf_served_total Requests served.",
         "# TYPE mtvaf_served_total counter",
         f"mtvaf_served_total {stats.get('served', 0)}",
+        "# HELP mtvaf_rejected_total Requests shed at max_queue.",
+        "# TYPE mtvaf_rejected_total counter",
+        f"mtvaf_rejected_total {stats.get('rejected', 0)}",
         "# HELP mtvaf_replicas Predictor replicas (serving devices).",
         "# TYPE mtvaf_replicas gauge",
         f"mtvaf_replicas {stats.get('replicas', 1)}",
@@ -85,6 +88,8 @@ def build_app(server):
     """Request handler class bound to a BatchingServer (separable for
     tests)."""
     from http.server import BaseHTTPRequestHandler
+
+    from ..serve import QueueFull
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict) -> None:
@@ -142,6 +147,19 @@ def build_app(server):
                         for s, img in zip(sentences,
                                           images or [None] * len(sentences))]
                 results = [f.result(timeout=120) for f in futs]
+            except QueueFull as e:
+                # load shed: tell the client to back off and retry.  Any
+                # sentences of this request that DID queue before the bound
+                # hit still compute (their futures are dropped) — wasted
+                # work under a rare race, never a wrong answer.
+                self.send_response(429)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except Exception as e:  # noqa: BLE001
                 self._reply(500, {"error": str(e)})
                 return
@@ -174,6 +192,11 @@ def main(argv=None):
                         "rung compiles once at startup")
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--pipeline_depth", type=int, default=4)
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="backpressure bound: shed requests with HTTP 429 "
+                        "once this many are already waiting (default "
+                        "unbounded; production: a few top-rung batches, "
+                        "e.g. 4x the largest batch shape)")
     p.add_argument("--serve_devices", default="1",
                    help="'auto' = one predictor replica per local chip "
                         "(data-parallel serving: shared queue, one dispatch "
@@ -220,7 +243,8 @@ def main(argv=None):
                         max_wait_ms=args.max_wait_ms,
                         pipeline_depth=args.pipeline_depth,
                         batch_shapes=batch_shapes,
-                        devices=devices) as server:
+                        devices=devices,
+                        max_queue=args.max_queue) as server:
         # compile every serving rung before accepting traffic
         server.warmup()
         httpd = ThreadingHTTPServer((args.host, args.port),

@@ -26,6 +26,13 @@ Batching policy (the standard latency/throughput knobs):
                     (dispatch/collect split; per-batch host round-trips
                     hide behind the next batches' compute — essential on
                     tunneled backends where each fetch is a ~25-40 ms RPC).
+* ``max_queue``   — backpressure bound: with more than this many requests
+                    already waiting, ``submit`` fails fast with
+                    :class:`QueueFull` instead of queueing (the HTTP tier
+                    maps it to 429).  Unbounded by default; production
+                    deployments should set it to a few top-rung batches —
+                    past that depth every queued request only adds latency
+                    it could have spent retrying a healthy replica.
 * ``devices``     — optional list of chips for DATA-PARALLEL serving: one
                     predictor replica (params device_put, see
                     ``infer._PredictorBase.to_device``) and one dispatch
@@ -49,6 +56,11 @@ from concurrent.futures import Future
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 
+class QueueFull(RuntimeError):
+    """Raised by :meth:`BatchingServer.submit` when the request queue is at
+    ``max_queue`` — the load-shedding signal (HTTP tier: 429)."""
+
+
 class BatchingServer:
     """Dynamic-batching front-end for a ``CrfPredictor`` or ``SpanPredictor``.
 
@@ -67,7 +79,8 @@ class BatchingServer:
     def __init__(self, predictor, *, max_batch: int = 16,
                  max_wait_ms: float = 5.0, pipeline_depth: int = 4,
                  batch_shapes: Optional[Sequence[int]] = None,
-                 devices: Optional[Sequence[Any]] = None):
+                 devices: Optional[Sequence[Any]] = None,
+                 max_queue: Optional[int] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if pipeline_depth < 1:
@@ -88,6 +101,9 @@ class BatchingServer:
             raise ValueError("batch_shapes must be >= 1")
         self._max_batch = self._shapes[-1]
         self._max_wait_s = float(max_wait_ms) / 1e3
+        if max_queue is not None and max_queue < 1:
+            raise ValueError("max_queue must be >= 1 (or None = unbounded)")
+        self._max_queue = max_queue
         # Keep up to pipeline_depth batches in flight on the device: the
         # worker issues predictor.dispatch() and hands the blocking
         # predictor.collect() to a fetch pool, so per-batch host round
@@ -102,6 +118,7 @@ class BatchingServer:
         # stats windows are bounded: a long-running server must not grow
         # without limit, and stats() sorts under the lock
         self._served = 0
+        self._rejected = 0
         self._latencies_ms = deque(maxlen=8192)
         self._batch_sizes = deque(maxlen=8192)
         self._replica_batches = [0] * len(self._predictors)
@@ -122,6 +139,11 @@ class BatchingServer:
         with self._lock:
             if self._closed:
                 raise RuntimeError("server is closed")
+            if (self._max_queue is not None
+                    and len(self._queue) >= self._max_queue):
+                self._rejected += 1
+                raise QueueFull(
+                    f"request queue at max_queue={self._max_queue}")
             self._queue.append((sentence, image, fut))
             self._lock.notify()
         return fut
@@ -154,10 +176,12 @@ class BatchingServer:
         occupancy over the most recent window (8192 requests)."""
         with self._lock:
             served = self._served
+            rejected = self._rejected
             lats = sorted(self._latencies_ms)
             sizes = list(self._batch_sizes)
             replica_batches = list(self._replica_batches)
-        base = {"served": served, "replicas": len(self._predictors)}
+        base = {"served": served, "rejected": rejected,
+                "replicas": len(self._predictors)}
         if len(replica_batches) > 1:
             base["replica_batches"] = replica_batches
         if not lats:

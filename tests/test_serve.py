@@ -268,3 +268,31 @@ def test_real_predictor_replicated_across_devices(predictor):
     stats = server.stats()
     assert stats["served"] == 32          # warmup bypasses the queue
     assert sum(stats["replica_batches"]) == stats["batches"]
+
+
+def test_max_queue_sheds_load_and_counts_rejections():
+    """Backpressure: once the queue holds max_queue requests, submit fails
+    fast with QueueFull; accepted requests still resolve correctly and the
+    rejection count is exposed through stats()."""
+    from mtvaf_tpu.serve import QueueFull
+
+    fake = _RecordingPredictor(delay_s=0.1)
+    with BatchingServer(fake, max_batch=1, max_wait_ms=1.0,
+                        max_queue=2) as server:
+        accepted, rejected = [], 0
+        for i in range(20):                 # flood far faster than 1/0.1 s
+            try:
+                accepted.append((f"s{i}", server.submit(f"s{i}")))
+            except QueueFull:
+                rejected += 1
+        assert rejected > 0
+        for sent, fut in accepted:
+            assert fut.result(timeout=30) == [(sent, "POS")]
+    stats = server.stats()
+    assert stats["rejected"] == rejected
+    assert stats["served"] == len(accepted)
+
+
+def test_max_queue_validation():
+    with pytest.raises(ValueError):
+        BatchingServer(_RecordingPredictor(), max_queue=0)

@@ -298,3 +298,45 @@ def test_http_serving_a_frozen_bundle(trained_run, tmp_path):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_http_429_when_queue_full():
+    """Overload maps QueueFull to HTTP 429 (with Retry-After) and the
+    rejection counter reaches /stats and /metrics."""
+    import time
+    from http.server import ThreadingHTTPServer
+
+    class _SlowFake:
+        def predict(self, sentences, images=None, aux_images=None):
+            time.sleep(0.3)
+            return [[(s, "POS")] for s in sentences]
+
+    with BatchingServer(_SlowFake(), max_batch=1, max_wait_ms=1.0,
+                        max_queue=1) as server:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), build_app(server))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            codes = []
+            threads = [threading.Thread(
+                target=lambda i=i: codes.append(_http(
+                    f"{base}/predict", {"sentences": [f"s{i}"]})[0]))
+                for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert 429 in codes and 200 in codes
+            assert set(codes) <= {200, 429}
+
+            code, body = _http(f"{base}/stats")
+            assert code == 200 and body["rejected"] >= 1
+
+            req = urllib.request.Request(f"{base}/metrics")
+            with urllib.request.urlopen(req, timeout=30) as r:
+                text = r.read().decode()
+            assert "mtvaf_rejected_total" in text
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
