@@ -84,6 +84,28 @@ def _prometheus(stats: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
+def bundle_ladder(predictor, batch_shapes):
+    """Serving ladder for a frozen bundle: default to the bundle's exported
+    rungs; reject a requested ladder past the largest rung (fit() would
+    raise mid-serving otherwise) and warn on shapes that are not rungs
+    (those batches pad up to the next rung's program)."""
+    rungs = predictor.export_rungs
+    if batch_shapes is None:
+        logger.info("serving ladder from bundle rungs: %s", rungs)
+        return list(rungs)
+    if max(batch_shapes) > max(rungs):
+        raise SystemExit(
+            f"--batch_shapes {batch_shapes} exceeds the bundle's largest "
+            f"exported rung {max(rungs)}; re-export with larger "
+            f"--batch_sizes or lower the ladder")
+    off = [s for s in batch_shapes if s not in rungs]
+    if off:
+        logger.warning(
+            "batch shapes %s are not exported rungs %s: those batches pad "
+            "up to the next rung's program", off, rungs)
+    return batch_shapes
+
+
 def build_app(server):
     """Request handler class bound to a BatchingServer (separable for
     tests)."""
@@ -218,6 +240,7 @@ def main(argv=None):
         logger.info("loading frozen bundle from %s", args.bundle)
         predictor = load_exported_predictor(args.bundle,
                                             bert_name=args.bert_name)
+        batch_shapes = bundle_ladder(predictor, batch_shapes)
     else:
         from ..infer import load_predictor
         logger.info("loading predictor from %s", args.save_path)

@@ -177,11 +177,17 @@ def cross_host_gather(obj, mesh: Mesh) -> list:
     payload = np.frombuffer(pickle.dumps(obj), np.uint8)
     procs = jax.process_count()
     pid = jax.process_index()
-    lens = np.zeros((procs,), np.float32)
-    lens[pid] = len(payload)
+    # cross_host_sum rides float32 (exact only < 2^24), but a pickled eval
+    # payload can exceed 16 MB — ship each byte-length as an exact
+    # (len >> 20, len & 0xFFFFF) pair (both halves < 2^24 for any payload
+    # under 16 TB) instead of one lossy float.
+    lens = np.zeros((procs, 2), np.float32)
+    lens[pid] = divmod(len(payload), 1 << 20)
     lens = cross_host_sum(lens, mesh)        # one-hot sum = all lengths
+    sizes = (lens[:, 0].astype(np.int64) * (1 << 20)
+             + lens[:, 1].astype(np.int64))
     # power-of-two bucket: one identity compile per bucket, not per call
-    maxlen = 1 << (max(int(lens.max()), 1) - 1).bit_length()
+    maxlen = 1 << (max(int(sizes.max()), 1) - 1).bit_length()
     D = data_axis_size(mesh)
     if D % procs != 0:
         raise ValueError(f"data axis {D} not divisible by {procs} processes")
@@ -196,7 +202,7 @@ def cross_host_gather(obj, mesh: Mesh) -> list:
             lambda x: x, out_shardings=NamedSharding(mesh, P()))
     full = np.asarray(fn(g))
     rows = D // procs
-    return [pickle.loads(full[p * rows, :int(lens[p])].tobytes())
+    return [pickle.loads(full[p * rows, :int(sizes[p])].tobytes())
             for p in range(procs)]
 
 

@@ -312,6 +312,18 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
         self._guide_wargs = () if resnet_weights is None \
             else (resnet_weights,)
 
+    @property
+    def serves_images(self) -> bool:
+        # frozen bundles carry the multimodal programs only when exported
+        # with them; the live predictor's _guide_fn is always None here
+        return self._mm_rungs is not None
+
+    @property
+    def export_rungs(self) -> tuple:
+        """The bundle's compiled batch sizes — a serving ladder should be
+        drawn from these (any other shape pads up to the next rung)."""
+        return tuple(self._rungs.rungs)
+
     def dispatch(self, sentences, images=None, aux_images=None):
         n = len(sentences)
         rung, prog = self._rungs.fit(n)
@@ -328,8 +340,15 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
             pad = np.zeros((rung - images.shape[0],) + images.shape[1:],
                            np.float32)
             imgs = np.concatenate([images, pad]) if len(pad) else images
-            aux = aux_images if aux_images is not None else \
-                np.zeros((imgs.shape[0], 3, 224, 224, 3), np.float32)
+            if aux_images is None:
+                aux = np.zeros((imgs.shape[0], 3, 224, 224, 3), np.float32)
+            else:
+                # pad the aux crops to the rung alongside the main images —
+                # the frozen program's batch dim is the rung, not n
+                apad = np.zeros((rung - aux_images.shape[0],)
+                                + aux_images.shape[1:], np.float32)
+                aux = np.concatenate([aux_images, apad]) if len(apad) \
+                    else aux_images
             mg, ag = guide_prog.call(*self._guide_wargs, imgs, aux)
             out = mm_prog.call(*self._wargs,
                                {**host, "main_guides": mg, "aux_guides": ag})
@@ -351,6 +370,11 @@ class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
         self._extract_rungs = extract
         self._classify_rungs = classify
         self._wargs = () if weights is None else (weights,)
+
+    @property
+    def export_rungs(self) -> tuple:
+        """The bundle's compiled batch sizes (see ExportedCrfPredictor)."""
+        return tuple(self._extract_rungs.rungs)
 
     def dispatch(self, sentences, images=None, aux_images=None, gcn=None):
         if images is not None or gcn is not None:

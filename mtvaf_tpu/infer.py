@@ -47,6 +47,14 @@ class _PredictorBase:
                 lambda imgs, aux: compute_visual_guides(
                     resnet_params, imgs, aux, depth=cfg.resnet_depth))
 
+    @property
+    def serves_images(self) -> bool:
+        """True when per-request images reach visual guides on this
+        predictor — serve.BatchingServer.warmup then compiles the
+        image-bearing program per rung too (the first image-bearing batch
+        would otherwise stall the queue for a mid-serving compile)."""
+        return self._guide_fn is not None
+
     def _guides_extra(self, images, aux_images) -> Dict:
         """Visual guides for a batch of preprocessed images, as a dict of
         DEVICE arrays (empty for text-only batches / non-prefix models)."""

@@ -119,6 +119,9 @@ class BatchingServer:
         # without limit, and stats() sorts under the lock
         self._served = 0
         self._rejected = 0
+        self._batches = 0                # cumulative (Prometheus counter);
+                                         # the deques below are the bounded
+                                         # percentile/occupancy window
         self._latencies_ms = deque(maxlen=8192)
         self._batch_sizes = deque(maxlen=8192)
         self._replica_batches = [0] * len(self._predictors)
@@ -161,9 +164,19 @@ class BatchingServer:
         overlap."""
         from concurrent.futures import ThreadPoolExecutor
 
+        import numpy as np
+
         def warm(p):
             for rung in self._shapes:
                 p.predict(["warm up"] * rung)
+                if getattr(p, "serves_images", False):
+                    # prefix predictors run a SECOND program per rung when
+                    # a batch carries images (guides + packed decode with
+                    # guide args) — compile it now, not on the first
+                    # image-bearing request
+                    p.predict(["warm up"] * rung,
+                              images=np.zeros((rung, 224, 224, 3),
+                                              np.float32))
 
         if len(self._predictors) == 1:
             warm(self._predictors[0])
@@ -172,11 +185,13 @@ class BatchingServer:
             list(pool.map(warm, self._predictors))
 
     def stats(self) -> Dict[str, float]:
-        """Served-request count plus latency percentiles (ms) and batch
-        occupancy over the most recent window (8192 requests)."""
+        """Cumulative served/rejected/batch counts (monotonic — safe to
+        export as Prometheus counters) plus latency percentiles (ms) and
+        mean batch occupancy over the most recent window (8192 entries)."""
         with self._lock:
             served = self._served
             rejected = self._rejected
+            batches = self._batches
             lats = sorted(self._latencies_ms)
             sizes = list(self._batch_sizes)
             replica_batches = list(self._replica_batches)
@@ -193,7 +208,7 @@ class BatchingServer:
         return {**base, "p50_ms": round(pct(50), 2),
                 "p95_ms": round(pct(95), 2), "p99_ms": round(pct(99), 2),
                 "mean_batch": round(sum(sizes) / len(sizes), 2),
-                "batches": len(sizes)}
+                "batches": batches}
 
     def close(self, timeout: Optional[float] = 30.0) -> None:
         """Stop accepting requests, drain the queue, join the worker."""
@@ -238,6 +253,7 @@ class BatchingServer:
         now = time.perf_counter()
         with self._lock:
             self._batch_sizes.append(len(batch))
+            self._batches += 1
             self._replica_batches[replica] += 1
             self._served += len(batch)
             for _, _, fut in batch:

@@ -42,6 +42,29 @@ def main(coordinator: str, num_processes: int, process_id: int,
     from mtvaf_tpu.train.trainer_crf import CrfTrainer
     from mtvaf_tpu.train.trainer_span import SpanTrainer
 
+    if pipeline == "gather_big":
+        # cross_host_gather with a >16 MB payload per process: the pickled
+        # byte length exceeds float32's exact-integer range (2^24), which
+        # the original single-float length transport silently rounded —
+        # regression for the exact (hi, lo) length pair (core/mesh.py).
+        import hashlib
+
+        from jax.sharding import Mesh
+
+        from mtvaf_tpu.core.mesh import cross_host_gather
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        payload = np.random.RandomState(process_id).randint(
+            0, 256, (1 << 24) + 3 + 7 * process_id).astype(np.uint8).tobytes()
+        got = cross_host_gather(payload, mesh)
+        assert got[process_id] == payload
+        print("MPRESULT " + json.dumps({
+            "process_id": process_id,
+            "lens": [len(x) for x in got],
+            "sha": [hashlib.sha1(x).hexdigest() for x in got],
+        }))
+        return
+
     tokenizer = FullTokenizer(os.path.join(data_dir, "vocab.txt"))
     fallback_warned = None
     if pipeline.startswith("crf_guides"):

@@ -114,11 +114,19 @@ def test_multimodal_crf_bundle_roundtrip(tokenizer, tmp_path):
     assert names == {"crf_decode_b2", "guides_b2", "crf_decode_guides_b2"}
 
     served = load_exported_predictor(out, tokenizer)
+    assert served.serves_images and served.export_rungs == (2,)
     rng = np.random.RandomState(0)
     images = rng.rand(2, 224, 224, 3).astype(np.float32)
     assert served.predict(SENTS[:2], images=images) \
         == live.predict(SENTS[:2], images=images)
     assert served.predict(SENTS[:2]) == live.predict(SENTS[:2])
+
+    # partial batch WITH explicit aux crops: main AND aux images must both
+    # pad up to the rung's frozen batch dim (regression: aux shipped
+    # unpadded and the frozen program rejected the shape mismatch)
+    aux = rng.rand(1, 3, 224, 224, 3).astype(np.float32)
+    assert served.predict(SENTS[:1], images=images[:1], aux_images=aux) \
+        == live.predict(SENTS[:1], images=images[:1], aux_images=aux)
 
 
 def test_exported_predictor_behind_batching_server(crf_predictor, tokenizer,

@@ -231,3 +231,22 @@ def test_two_process_guide_table_submesh_fallback(data_dir):
                                    rtol=1e-5)
         assert r["y_pred"] == baseline["y_pred"]
     assert results[0]["params_digest"] == results[1]["params_digest"]
+
+
+def test_two_process_gather_survives_16mb_payloads(data_dir):
+    """cross_host_gather with per-process payloads past 2^24 bytes: the
+    byte LENGTH itself no longer fits float32 exactly, so the original
+    single-float length transport truncated the pickle stream (regression
+    for the exact (hi, lo) length pair in core/mesh.py).  Both processes
+    must reconstruct every payload bit-exactly."""
+    import hashlib
+
+    coordinator = f"localhost:{_free_port()}"
+    results = _run_workers(2, data_dir, coordinator, pipeline="gather_big")
+    want_lens = [(1 << 24) + 3, (1 << 24) + 10]
+    want_sha = [hashlib.sha1(np.random.RandomState(pid).randint(
+        0, 256, n).astype(np.uint8).tobytes()).hexdigest()
+        for pid, n in enumerate(want_lens)]
+    for r in results:
+        assert r["lens"] == want_lens
+        assert r["sha"] == want_sha

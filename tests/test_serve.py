@@ -296,3 +296,52 @@ def test_max_queue_sheds_load_and_counts_rejections():
 def test_max_queue_validation():
     with pytest.raises(ValueError):
         BatchingServer(_RecordingPredictor(), max_queue=0)
+
+
+def test_warmup_compiles_image_programs_for_prefix_predictor():
+    """For prefix (multimodal) predictors, warmup must compile the
+    image-bearing packed program per rung too — the first image-carrying
+    request would otherwise stall the queue for a mid-serving compile."""
+    import os
+    import tempfile
+
+    from mtvaf_tpu.core.config import Config
+    from mtvaf_tpu.data.synthetic import make_vocab_file
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+    from mtvaf_tpu.infer import CrfPredictor
+    from mtvaf_tpu.nn.bert import BertConfig
+    from mtvaf_tpu.nn.models import init_crf_model_params
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    d = tempfile.mkdtemp()
+    make_vocab_file(os.path.join(d, "vocab.txt"))
+    tok = FullTokenizer(os.path.join(d, "vocab.txt"))
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bc = BertConfig.tiny(vocab_size=len(tok.vocab))
+    pred = CrfPredictor(cfg, bc,
+                        init_crf_model_params(jax.random.PRNGKey(0), cfg, bc),
+                        tok,
+                        resnet_params=init_resnet_params(
+                            jax.random.PRNGKey(1), depth=18))
+    assert pred.serves_images
+    with BatchingServer(pred, max_wait_ms=2.0, batch_shapes=(1, 2)) as server:
+        server.warmup()
+    extras = {key[2] for key in pred._packed_fns}      # (name, segs, extras)
+    assert ("aux_guides", "main_guides") in extras     # image program warm
+    assert () in extras                                # text program warm
+
+
+def test_bundle_ladder_defaults_and_validation():
+    """mtvaf-serve --bundle derives its ladder from the bundle's exported
+    rungs and rejects a ladder the bundle cannot serve."""
+    from mtvaf_tpu.cli.serve_main import bundle_ladder
+
+    class _Bundle:
+        export_rungs = (1, 16)
+
+    assert bundle_ladder(_Bundle(), None) == [1, 16]
+    assert bundle_ladder(_Bundle(), [1, 8]) == [1, 8]   # pads up, warned
+    with pytest.raises(SystemExit, match="largest exported rung"):
+        bundle_ladder(_Bundle(), [1, 64])
