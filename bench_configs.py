@@ -262,6 +262,15 @@ def main():
            _time_crf_serving(Config(dataset_name="twitter2015"), bc),
            unit="sentences/s")
 
+    # 6b. Offline serving at the throughput-optimal batch — the online
+    # tier's top ladder rung (BENCH_SERVE runs b64 under saturation; the
+    # offline stream should be measured at the same shape, not only b16).
+    record("c6_crf_serving_b64",
+           "CrfPredictor predict_many, b64 s128 (top ladder rung)",
+           _time_crf_serving(Config(dataset_name="twitter2015"), bc,
+                             n_batches=8, batch=64),
+           unit="sentences/s")
+
     with open("BENCH_CONFIGS.json", "w") as f:
         json.dump(rows, f, indent=2)
 

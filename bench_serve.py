@@ -11,7 +11,10 @@ and the dispatch/collect pipeline (depth 4) overlaps each batch's ~25-40 ms
 tunnel fetch with the next batches' compute — throughput should approach
 the offline predict_many rate (BENCH_CONFIGS c6).
 
-Writes BENCH_SERVE.json (one row per K) and prints it.
+Writes BENCH_SERVE.json (one row per K) and prints it.  A second block
+("span_rows") drives the SpanPredictor through the same server at the
+ladder's two ends (idle latency, saturated throughput) — its collect path
+runs the host candidate/NMS seam plus a second device stage per batch.
 """
 
 from __future__ import annotations
@@ -61,41 +64,23 @@ def main():
         # and clients run concurrently
         pool = [" ".join(rng.choice(words, size=12)) for _ in range(512)]
 
-        def sentence(i):
-            return pool[i % len(pool)]
+        rows = _drive(BatchingServer, predictor, pool)
 
-        rows = []
-        for k in CONCURRENCY:
-            server = BatchingServer(predictor, max_wait_ms=MAX_WAIT_MS,
-                                    pipeline_depth=PIPELINE_DEPTH,
-                                    batch_shapes=BATCH_SHAPES)
-            server.warmup()         # compile every rung before the clock
-            n_req = REQUESTS_PER_CLIENT * k
-            errors = []
-
-            def client(cid):
-                try:
-                    for i in range(REQUESTS_PER_CLIENT):
-                        server.predict(sentence(cid * 1000 + i))
-                except BaseException as e:     # pragma: no cover
-                    errors.append(e)
-
-            threads = [threading.Thread(target=client, args=(c,))
-                       for c in range(k)]
-            t0 = time.perf_counter()
-            [t.start() for t in threads]
-            [t.join() for t in threads]
-            dt = time.perf_counter() - t0
-            stats = server.stats()
-            server.close()
-            assert not errors, errors[0]
-            assert stats["served"] == n_req
-            rows.append({"concurrency": k, "sentences_per_sec":
-                         round(n_req / dt, 1),
-                         "p50_ms": stats["p50_ms"],
-                         "p95_ms": stats["p95_ms"],
-                         "mean_batch": stats["mean_batch"]})
-            print(json.dumps(rows[-1]), flush=True)
+        # Span pipeline through the same online tier: dispatch covers the
+        # extraction program; collect runs the host candidate/NMS seam +
+        # the classification program (two device stages per batch, so the
+        # saturated rate sits below the CRF row by design).  Measured at
+        # the two ends of the ladder: idle latency + saturated throughput.
+        from mtvaf_tpu.infer import SpanPredictor
+        from mtvaf_tpu.nn.models import init_span_model_params
+        span_cfg = Config(dataset_name="twitter15")
+        span_params = init_span_model_params(jax.random.PRNGKey(0),
+                                             span_cfg, bc)
+        span_predictor = SpanPredictor(
+            span_cfg, bc, span_params, tok,
+            attention_impl=select_attention_impl(span_cfg, False))
+        span_rows = _drive(BatchingServer, span_predictor, pool,
+                           concurrency=(1, 128))
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SERVE.json"), "w") as f:
@@ -103,10 +88,52 @@ def main():
                              f"shapes {list(BATCH_SHAPES)} s{cfg.max_seq}, "
                              f"pipeline depth {PIPELINE_DEPTH}, max_wait "
                              f"{MAX_WAIT_MS} ms, packed one-RPC dispatch",
-                   "rows": rows}, f, indent=1)
+                   "rows": rows,
+                   "span_rows": span_rows}, f, indent=1)
     print(json.dumps({"metric": "online_serving_peak_sentences_per_sec",
                       "value": max(r["sentences_per_sec"] for r in rows),
                       "unit": "sentences/s"}))
+
+
+def _drive(BatchingServer, predictor, pool, concurrency=CONCURRENCY):
+    """Closed-loop clients against one server config; one row per K."""
+
+    def sentence(i):
+        return pool[i % len(pool)]
+
+    rows = []
+    for k in concurrency:
+        server = BatchingServer(predictor, max_wait_ms=MAX_WAIT_MS,
+                                pipeline_depth=PIPELINE_DEPTH,
+                                batch_shapes=BATCH_SHAPES)
+        server.warmup()         # compile every rung before the clock
+        n_req = REQUESTS_PER_CLIENT * k
+        errors = []
+
+        def client(cid):
+            try:
+                for i in range(REQUESTS_PER_CLIENT):
+                    server.predict(sentence(cid * 1000 + i))
+            except BaseException as e:     # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(k)]
+        t0 = time.perf_counter()
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        dt = time.perf_counter() - t0
+        stats = server.stats()
+        server.close()
+        assert not errors, errors[0]
+        assert stats["served"] == n_req
+        rows.append({"concurrency": k, "sentences_per_sec":
+                     round(n_req / dt, 1),
+                     "p50_ms": stats["p50_ms"],
+                     "p95_ms": stats["p95_ms"],
+                     "mean_batch": stats["mean_batch"]})
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
 
 
 if __name__ == "__main__":

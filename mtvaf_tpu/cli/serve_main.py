@@ -235,6 +235,15 @@ def main(argv=None):
 
     if bool(args.save_path) == bool(args.bundle):
         raise SystemExit("pass exactly one of --save_path / --bundle")
+    if args.bundle and args.serve_devices != "1":
+        # frozen programs pin their device placement; BatchingServer's
+        # to_device replication would raise mid-construction anyway —
+        # fail at flag-parse time with the same guidance
+        raise SystemExit(
+            "--bundle serves single-device (frozen programs pin their "
+            "placement); for multi-chip serving run one mtvaf-serve "
+            "per chip behind a load balancer, or serve the live run "
+            "with --save_path --serve_devices auto")
     if args.bundle:
         from ..export import load_exported_predictor
         logger.info("loading frozen bundle from %s", args.bundle)

@@ -24,9 +24,12 @@ Scope and caveats:
   images exactly like the live predictor.
 * Span pipeline: the extraction and classification programs per rung
   (the candidate-NMS seam between them is host code by design —
-  eval/span_decode.py; the exported predictor reuses it).  DiGCN-trained
-  span models export the no-sidecar classification signature (raw-text
-  serving has no dependency parses — same as predict_many).
+  eval/span_decode.py; the exported predictor reuses it).  Prefix runs
+  export the guide program and an extraction-with-guides variant like
+  the CRF pipeline, so exported span serving accepts images too.
+  DiGCN-trained span models export the no-sidecar classification
+  signature (raw-text serving has no dependency parses — same as
+  predict_many).
 * Artifacts lower for the platforms requested at export time
   (``platforms=("cpu", "tpu")`` by default, so one bundle serves both);
   a predictor whose eval attention resolved to the Pallas kernel
@@ -189,12 +192,46 @@ def export_predictor(predictor, out_dir: str, *,
         if multimodal:
             resnet_tree = _save_weights(os.path.join(out_dir, "resnet.npz"),
                                         predictor.resnet_params)
+    def emit_guides(rung: int):
+        """Export the frozen-ResNet guide program for one rung (shared by
+        both pipelines); returns the (main, aux) guide specs the
+        with-guides decode/extract variant appends to its batch spec."""
+        from .nn.models import compute_visual_guides
+        guide_fn = predictor._guide_fn
+
+        def guide_call(rp, imgs, aux):
+            return compute_visual_guides(rp, imgs, aux,
+                                         depth=cfg.resnet_depth)
+
+        img_specs = [_spec((rung, 224, 224, 3), jnp.float32),
+                     _spec((rung, 3, 224, 224, 3), jnp.float32)]
+        if bake_weights:
+            emit(f"guides_b{rung}",
+                 lambda _rp, imgs, aux, _g=guide_fn: _g(imgs, aux),
+                 img_specs)
+        else:
+            blob = _export_one(
+                guide_call,
+                [_tree_spec(predictor.resnet_params)] + img_specs,
+                platforms)
+            fname = f"guides_b{rung}.jaxexp"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(blob)
+            programs.append({"name": f"guides_b{rung}",
+                             "file": fname, "bytes": len(blob)})
+        mg, ag = jax.eval_shape(guide_fn, *img_specs)
+        return {"main_guides": _spec(mg.shape, mg.dtype),
+                "aux_guides": _spec(ag.shape, ag.dtype)}
+
     for rung in rungs:
         if is_span:
             extract = predictor._extract
             classify = predictor._classify
             emit(f"span_extract_b{rung}", extract,
                  [_span_batch_spec(cfg, rung)])
+            if multimodal:
+                emit(f"span_extract_guides_b{rung}", extract,
+                     [{**_span_batch_spec(cfg, rung), **emit_guides(rung)}])
             # the classify program's seq input is exactly the extract
             # program's seq output — derive its spec, don't guess dtypes
             _, _, seq_shape, _ = jax.eval_shape(
@@ -215,34 +252,8 @@ def export_predictor(predictor, out_dir: str, *,
             decode = predictor._decode
             emit(f"crf_decode_b{rung}", decode, [_crf_batch_spec(cfg, rung)])
             if multimodal:
-                from .nn.models import compute_visual_guides
-                guide_fn = predictor._guide_fn
-
-                def guide_call(rp, imgs, aux):
-                    return compute_visual_guides(rp, imgs, aux,
-                                                 depth=cfg.resnet_depth)
-
-                img_specs = [_spec((rung, 224, 224, 3), jnp.float32),
-                             _spec((rung, 3, 224, 224, 3), jnp.float32)]
-                if bake_weights:
-                    emit(f"guides_b{rung}",
-                         lambda _rp, imgs, aux, _g=guide_fn: _g(imgs, aux),
-                         img_specs)
-                else:
-                    blob = _export_one(
-                        guide_call,
-                        [_tree_spec(predictor.resnet_params)] + img_specs,
-                        platforms)
-                    fname = f"guides_b{rung}.jaxexp"
-                    with open(os.path.join(out_dir, fname), "wb") as f:
-                        f.write(blob)
-                    programs.append({"name": f"guides_b{rung}",
-                                     "file": fname, "bytes": len(blob)})
-                mg, ag = jax.eval_shape(guide_fn, *img_specs)
                 emit(f"crf_decode_guides_b{rung}", decode,
-                     [{**_crf_batch_spec(cfg, rung),
-                       "main_guides": _spec(mg.shape, mg.dtype),
-                       "aux_guides": _spec(ag.shape, ag.dtype)}])
+                     [{**_crf_batch_spec(cfg, rung), **emit_guides(rung)}])
 
     manifest = {
         "format_version": _FORMAT_VERSION,
@@ -337,18 +348,7 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
             mm_rung, mm_prog = self._mm_rungs.fit(n)
             assert mm_rung == rung, "rung ladders must match"
             _, guide_prog = self._guide_rungs.fit(n)
-            pad = np.zeros((rung - images.shape[0],) + images.shape[1:],
-                           np.float32)
-            imgs = np.concatenate([images, pad]) if len(pad) else images
-            if aux_images is None:
-                aux = np.zeros((imgs.shape[0], 3, 224, 224, 3), np.float32)
-            else:
-                # pad the aux crops to the rung alongside the main images —
-                # the frozen program's batch dim is the rung, not n
-                apad = np.zeros((rung - aux_images.shape[0],)
-                                + aux_images.shape[1:], np.float32)
-                aux = np.concatenate([aux_images, apad]) if len(apad) \
-                    else aux_images
+            imgs, aux = _pad_images_to_rung(rung, images, aux_images)
             mg, ag = guide_prog.call(*self._guide_wargs, imgs, aux)
             out = mm_prog.call(*self._wargs,
                                {**host, "main_guides": mg, "aux_guides": ag})
@@ -360,16 +360,44 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
         return (sentences, host["label_ids"], host["input_mask"], out)
 
 
+def _pad_images_to_rung(rung: int, images, aux_images):
+    """Pad a batch's main images (and aux crops, default zeros) to the
+    rung — the frozen guide program's batch dim is the rung, not n."""
+    pad = np.zeros((rung - images.shape[0],) + images.shape[1:], np.float32)
+    imgs = np.concatenate([images, pad]) if len(pad) else images
+    if aux_images is None:
+        aux = np.zeros((imgs.shape[0], 3, 224, 224, 3), np.float32)
+    else:
+        apad = np.zeros((rung - aux_images.shape[0],)
+                        + aux_images.shape[1:], np.float32)
+        aux = np.concatenate([aux_images, apad]) if len(apad) \
+            else aux_images
+    return imgs, aux
+
+
 class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
-    """SpanPredictor served from a bundle (text-only; the host NMS seam
-    between the two frozen programs is the live predictor's own code)."""
+    """SpanPredictor served from a bundle: the host NMS seam between the
+    frozen programs is the live predictor's own code; prefix bundles carry
+    the guide + extract-with-guides programs so images serve like the live
+    predictor."""
 
     def __init__(self, cfg, bert_cfg, tokenizer, extract: _ExportedRungs,
-                 classify: _ExportedRungs, weights=None):
+                 classify: _ExportedRungs, weights=None,
+                 guide_rungs: Optional[_ExportedRungs] = None,
+                 mm_rungs: Optional[_ExportedRungs] = None,
+                 resnet_weights=None):
         super().__init__(cfg, bert_cfg, None, tokenizer)
         self._extract_rungs = extract
         self._classify_rungs = classify
+        self._guide_rungs = guide_rungs
+        self._mm_rungs = mm_rungs
         self._wargs = () if weights is None else (weights,)
+        self._guide_wargs = () if resnet_weights is None \
+            else (resnet_weights,)
+
+    @property
+    def serves_images(self) -> bool:
+        return self._mm_rungs is not None
 
     @property
     def export_rungs(self) -> tuple:
@@ -377,13 +405,27 @@ class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
         return tuple(self._extract_rungs.rungs)
 
     def dispatch(self, sentences, images=None, aux_images=None, gcn=None):
-        if images is not None or gcn is not None:
-            raise ValueError("exported span bundles serve text-only")
+        if gcn is not None:
+            raise ValueError("exported span bundles serve without GCN "
+                             "side arrays (no-sidecar classify is frozen)")
         n = len(sentences)
         rung, prog = self._extract_rungs.fit(n)
         padded = list(sentences) + [sentences[-1]] * (rung - n)
         examples, feats, host = self._make_host_batch(padded)
-        s_logits, e_logits, seq, _ = prog.call(*self._wargs, host)
+        if images is not None:
+            if self._mm_rungs is None:
+                raise ValueError("bundle was exported without the "
+                                 "multimodal programs")
+            mm_rung, mm_prog = self._mm_rungs.fit(n)
+            assert mm_rung == rung, "rung ladders must match"
+            _, guide_prog = self._guide_rungs.fit(n)
+            imgs, aux = _pad_images_to_rung(rung, images, aux_images)
+            mg, ag = guide_prog.call(*self._guide_wargs, imgs, aux)
+            s_logits, e_logits, seq, _ = mm_prog.call(
+                *self._wargs,
+                {**host, "main_guides": mg, "aux_guides": ag})
+        else:
+            s_logits, e_logits, seq, _ = prog.call(*self._wargs, host)
         return (n, examples, feats, s_logits, e_logits, seq, rung)
 
     def collect(self, handle):
@@ -443,12 +485,18 @@ def load_exported_predictor(out_dir: str, tokenizer=None, *,
                 os.path.join(out_dir, "resnet.npz"),
                 manifest["resnet_tree"])
 
+    guide_rungs = mm_rungs = None
     if manifest["pipeline"] == "span":
+        if manifest["multimodal"]:
+            guide_rungs = load_rungs("guides")
+            mm_rungs = load_rungs("span_extract_guides")
         return ExportedSpanPredictor(cfg, bert_cfg, tokenizer,
                                      load_rungs("span_extract"),
                                      load_rungs("span_classify"),
-                                     weights=weights)
-    guide_rungs = mm_rungs = None
+                                     weights=weights,
+                                     guide_rungs=guide_rungs,
+                                     mm_rungs=mm_rungs,
+                                     resnet_weights=resnet_weights)
     if manifest["multimodal"]:
         guide_rungs = load_rungs("guides")
         mm_rungs = load_rungs("crf_decode_guides")

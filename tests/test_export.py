@@ -87,9 +87,46 @@ def test_span_bundle_roundtrip(tokenizer, tmp_path):
     want = live.predict(sents + [sents[-1]])[:3]
     assert served.predict(sents) == want
     assert any(len(p) > 0 for p in want)              # non-vacuous
-    with pytest.raises(ValueError, match="text-only"):
+    with pytest.raises(ValueError, match="without the multimodal"):
         served.predict(sents[:1], images=np.zeros((1, 224, 224, 3),
                                                   np.float32))
+
+
+def test_multimodal_span_bundle_roundtrip(tokenizer, tmp_path):
+    """Prefix span runs: the frozen guide program + extract-with-guides
+    variant reproduce the live image path (symmetric to the CRF bundle);
+    text-only requests ride the plain extract program."""
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    cfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
+                 max_answer_length=4, logit_threshold=-100.0, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    live = SpanPredictor(cfg, bert_cfg, params, tokenizer,
+                         resnet_params=resnet)
+
+    out = str(tmp_path / "bundle")
+    manifest = export_predictor(live, out, batch_sizes=(2,),
+                                platforms=("cpu",))
+    assert manifest["multimodal"]
+    names = {p["name"] for p in manifest["programs"]}
+    assert names == {"span_extract_b2", "span_extract_guides_b2",
+                     "guides_b2", "span_classify_b2"}
+
+    served = load_exported_predictor(out, tokenizer)
+    assert served.serves_images and served.export_rungs == (2,)
+    sents = ["great phone bad battery", "nice view from the room"]
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 224, 224, 3).astype(np.float32)
+    assert served.predict(sents, images=images) \
+        == live.predict(sents, images=images)
+    assert served.predict(sents) == live.predict(sents)
+    # partial batch + explicit aux crops both pad up to the frozen rung
+    aux = rng.rand(1, 3, 224, 224, 3).astype(np.float32)
+    assert served.predict(sents[:1], images=images[:1], aux_images=aux) \
+        == live.predict(sents[:1], images=images[:1], aux_images=aux)
 
 
 def test_multimodal_crf_bundle_roundtrip(tokenizer, tmp_path):

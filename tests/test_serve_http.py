@@ -300,6 +300,15 @@ def test_http_serving_a_frozen_bundle(trained_run, tmp_path):
             httpd.server_close()
 
 
+def test_bundle_rejects_multi_device_flag():
+    """--bundle + --serve_devices fails at flag-parse time (frozen programs
+    pin their placement), before any bundle load is attempted."""
+    from mtvaf_tpu.cli.serve_main import main
+
+    with pytest.raises(SystemExit, match="single-device"):
+        main(["--bundle", "/nonexistent", "--serve_devices", "auto"])
+
+
 def test_http_429_when_queue_full():
     """Overload maps QueueFull to HTTP 429 (with Retry-After) and the
     rejection counter reaches /stats and /metrics."""
