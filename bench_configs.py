@@ -8,7 +8,10 @@ flagship bench; this script fills BASELINE.md's per-config table
 (round-1 verdict item #7).
 
 Run on TPU: `python bench_configs.py` (remote compiles can take 10-20 min
-per new program shape on a cache miss).
+per new program shape on a cache miss).  `--only PATTERN[,PATTERN...]`
+(fnmatch, e.g. `--only 'c6*'`) re-measures just the matching rows and
+MERGES them into the existing BENCH_CONFIGS.json — regenerating one row
+does not clobber or force a rerun of the other six.
 """
 
 from __future__ import annotations
@@ -191,7 +194,18 @@ def _time_crf_serving(cfg, bert_cfg, n_batches: int = 12, batch: int = 16):
         return len(stream) / dt
 
 
-def main():
+def main(argv=None):
+    import argparse
+    from fnmatch import fnmatch
+
+    ap = argparse.ArgumentParser("bench_configs")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated fnmatch patterns of row names to "
+                         "re-measure; results merge into the existing "
+                         "BENCH_CONFIGS.json instead of clobbering it")
+    ns = ap.parse_args(argv)
+    only = [p.strip() for p in ns.only.split(",")] if ns.only else None
+
     from mtvaf_tpu.core.config import Config
     from mtvaf_tpu.core.platform import configure_tpu_defaults
     from mtvaf_tpu.nn.bert import BertConfig
@@ -202,6 +216,12 @@ def main():
     rows = []
 
     def record(name, desc, value, unit="examples/s", mfu=None):
+        """``value`` may be a thunk so --only skips unmatched rows without
+        paying their measurement (every row below passes a lambda)."""
+        if only is not None and not any(fnmatch(name, p) for p in only):
+            return
+        if callable(value):
+            value = value()
         row = {"config": name, "desc": desc, "value": round(value, 2),
                "unit": unit}
         if mfu is not None:   # (bert_cfg, seq, prefix_len) for train rows
@@ -211,55 +231,59 @@ def main():
         print(json.dumps(row), flush=True)
 
     # 1. BERT-base text-only span ABSA (twitter15), b32 s128.
-    cfg = Config(dataset_name="twitter15")
     bc = BertConfig.base()
+    cfg1 = Config(dataset_name="twitter15")
     record("c1_text_span",
            "BERT-base text-only span ABSA, b32 s128",
-           _time_train(cfg, bc, _span_batch(cfg, bc, BATCH, 128), "span"),
+           lambda: _time_train(cfg1, bc, _span_batch(cfg1, bc, BATCH, 128),
+                               "span"),
            mfu=(bc, 128, 0))
 
     # 1b. The span EVAL loop (extraction -> host top-k/NMS -> classification).
     cfg_eval = Config(dataset_name="twitter15", eval_batch_size=EVAL_BATCH)
     record("c1_span_eval_loop",
            "span eval loop incl. host candidate/NMS seam, b16 s128",
-           _time_span_eval(cfg_eval, bc))
+           lambda: _time_span_eval(cfg_eval, bc))
 
     # 2. + auxiliary image-to-text channel (use_align -> max_seq_agn 500).
-    cfg = Config(dataset_name="twitter15", use_align=True)
+    cfg2 = Config(dataset_name="twitter15", use_align=True)
     record("c2_align_span",
            "BERT-base + merged visual-context text, b32 s500",
-           _time_train(cfg, bc, _span_batch(cfg, bc, BATCH, 500), "span"),
+           lambda: _time_train(cfg2, bc, _span_batch(cfg2, bc, BATCH, 500),
+                               "span"),
            mfu=(bc, 500, 0))
 
     # 3. + visual-feature branch (prefix KV fusion), CRF pipeline.
-    cfg = Config(dataset_name="twitter2017", use_prefix=True, use_152=True)
+    cfg3 = Config(dataset_name="twitter2017", use_prefix=True, use_152=True)
     record("c3_prefix_crf",
            "BERT-base + 16-slot visual prefix, CRF tagging, b32 s128",
-           _time_train(cfg, bc, _crf_batch(cfg, bc, BATCH, 128), "crf"),
+           lambda: _time_train(cfg3, bc, _crf_batch(cfg3, bc, BATCH, 128),
+                               "crf"),
            mfu=(bc, 128, 16))
 
     # 4. RoBERTa-base backbone with the visual prefix.
-    cfg = Config(dataset_name="twitter2015", bert_name="roberta-base",
-                 use_prefix=True, use_152=True)
+    cfg4 = Config(dataset_name="twitter2015", bert_name="roberta-base",
+                  use_prefix=True, use_152=True)
     bc_rob = BertConfig.base(is_roberta=True)
     record("c4_roberta_prefix_crf",
            "RoBERTa-base + visual prefix, CRF tagging, b32 s128",
-           _time_train(cfg, bc_rob, _crf_batch(cfg, bc_rob, BATCH, 128),
-                       "crf"),
+           lambda: _time_train(cfg4, bc_rob,
+                               _crf_batch(cfg4, bc_rob, BATCH, 128), "crf"),
            mfu=(bc_rob, 128, 16))
 
     # 5. Full MTVAF flagship (prefix + VAO ANP + probe) — bench.py's config.
-    cfg = Config(dataset_name="twitter2015", use_prefix=True, use_152=True,
-                 vao=True, use_probe=True)
+    cfg5 = Config(dataset_name="twitter2015", use_prefix=True, use_152=True,
+                  vao=True, use_probe=True)
     record("c5_full_flagship",
            "full MTVAF: prefix + ANP (vao) + probe, CRF, b32 s128",
-           _time_train(cfg, bc, _crf_batch(cfg, bc, BATCH, 128), "crf"),
+           lambda: _time_train(cfg5, bc, _crf_batch(cfg5, bc, BATCH, 128),
+                               "crf"),
            mfu=(bc, 128, 16))
 
     # 6. Raw-text serving (production inference API, text-only CRF model).
     record("c6_crf_serving",
            "CrfPredictor raw text -> (term, polarity), b16 s128",
-           _time_crf_serving(Config(dataset_name="twitter2015"), bc),
+           lambda: _time_crf_serving(Config(dataset_name="twitter2015"), bc),
            unit="sentences/s")
 
     # 6b. Offline serving at the throughput-optimal batch — the online
@@ -267,12 +291,26 @@ def main():
     # offline stream should be measured at the same shape, not only b16).
     record("c6_crf_serving_b64",
            "CrfPredictor predict_many, b64 s128 (top ladder rung)",
-           _time_crf_serving(Config(dataset_name="twitter2015"), bc,
-                             n_batches=8, batch=64),
+           lambda: _time_crf_serving(Config(dataset_name="twitter2015"), bc,
+                                     n_batches=8, batch=64),
            unit="sentences/s")
 
-    with open("BENCH_CONFIGS.json", "w") as f:
-        json.dump(rows, f, indent=2)
+    _write_merged(rows, merge=only is not None)
+
+
+def _write_merged(rows, merge: bool, path: str = "BENCH_CONFIGS.json"):
+    """Full runs rewrite the file; --only runs replace matching rows in
+    place (by config name) and append new names, preserving row order."""
+    import os
+    out = rows
+    if merge and os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+        by_name = {r["config"]: r for r in rows}
+        out = [by_name.pop(r["config"], r) for r in out]
+        out.extend(r for r in rows if r["config"] in by_name)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
 
 
 def _crf_batch(cfg, bert_cfg, b, s, rng_seed=0):
