@@ -31,6 +31,18 @@ from .train.steps import (make_classification_step, make_crf_decode_step,
                           make_extraction_step)
 
 
+def _pad_rows(a, n: int):
+    """Pad array ``a`` to ``n`` rows by repeating its last row (None passes
+    through) — the tail-batch twin of repeating the last sentence, so padded
+    rows stay (sentence, image)-consistent and are dropped by the caller."""
+    if a is None:
+        return None
+    a = np.asarray(a)
+    if a.shape[0] == n:
+        return a
+    return np.concatenate([a, np.repeat(a[-1:], n - a.shape[0], axis=0)])
+
+
 class _PredictorBase:
     def __init__(self, cfg: Config, bert_cfg: BertConfig, params, tokenizer,
                  resnet_params=None, attention_impl=xla_attention):
@@ -199,7 +211,8 @@ class CrfPredictor(_PredictorBase):
                 ) -> List[List[Tuple[str, str]]]:
         return self.collect(self.dispatch(sentences, images, aux_images))
 
-    def predict_many(self, sentences: Sequence[str], *, batch_size: int = 16,
+    def predict_many(self, sentences: Sequence[str], *, images=None,
+                     aux_images=None, batch_size: int = 16,
                      window: int = 4) -> List[List[Tuple[str, str]]]:
         """High-throughput serving over a sentence stream.
 
@@ -208,7 +221,12 @@ class CrfPredictor(_PredictorBase):
         dispatched ``window`` deep through :meth:`dispatch` with
         :meth:`collect` overlapped in a thread pool — on latency-bound
         backends the per-batch host round-trips hide behind the next
-        batches' compute (the same pattern as the trainers' eval loops)."""
+        batches' compute (the same pattern as the trainers' eval loops).
+
+        ``images`` / ``aux_images``: optional per-sentence preprocessed
+        image rows, (N, 224, 224, 3) / (N, 3, 224, 224, 3) fp32 aligned
+        with ``sentences`` — multimodal predictors batch them through the
+        frozen-ResNet guide program chunk by chunk."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -224,8 +242,14 @@ class CrfPredictor(_PredictorBase):
                 chunk = list(sentences[i:i + batch_size])
                 n = len(chunk)
                 chunk += [chunk[-1]] * (batch_size - n)     # pad tail batch
+                img = None if images is None else \
+                    _pad_rows(images[i:i + batch_size], len(chunk))
+                aux = None if aux_images is None else \
+                    _pad_rows(aux_images[i:i + batch_size], len(chunk))
                 pending.append(
-                    (n, fetcher.submit(self.collect, self.dispatch(chunk))))
+                    (n, fetcher.submit(self.collect,
+                                       self.dispatch(chunk, images=img,
+                                                     aux_images=aux))))
                 if len(pending) > window:
                     finish_one()
             while pending:
@@ -342,11 +366,15 @@ class SpanPredictor(_PredictorBase):
         return self.collect(self.dispatch(sentences, images, aux_images,
                                           gcn=gcn))
 
-    def predict_many(self, sentences: Sequence[str], *, batch_size: int = 16,
+    def predict_many(self, sentences: Sequence[str], *, images=None,
+                     aux_images=None, batch_size: int = 16,
                      window: int = 4) -> List[List[Tuple[str, str]]]:
         """High-throughput span serving: the extract → host-NMS → classify
         seam pipelined two stages deep with pooled fetches (same pattern as
         the span trainer's eval loop); fixed-size batches, padded tail.
+        ``images`` / ``aux_images``: optional per-sentence image rows
+        aligned with ``sentences`` (see CrfPredictor.predict_many) — they
+        enter the extraction stage as visual guides, chunk by chunk.
 
         Deliberately NOT built on dispatch/collect: collect() blocks
         through both device stages, while this loop overlaps the
@@ -392,9 +420,14 @@ class SpanPredictor(_PredictorBase):
                 chunk = list(sentences[i:i + batch_size])
                 n = len(chunk)
                 chunk += [chunk[-1]] * (batch_size - n)
+                img = None if images is None else \
+                    _pad_rows(images[i:i + batch_size], len(chunk))
+                aux = None if aux_images is None else \
+                    _pad_rows(aux_images[i:i + batch_size], len(chunk))
                 examples, feats, host = self._make_host_batch(chunk)
                 s_logits, e_logits, seq, _ = self._run_packed(
-                    "span_extract", self._extract, host, {})
+                    "span_extract", self._extract, host,
+                    self._guides_extra(img, aux))
                 pending_ext.append(
                     (n, examples, feats,
                      fetcher.submit(np.asarray,

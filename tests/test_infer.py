@@ -95,6 +95,59 @@ def test_span_predict_many_matches_predict(tokenizer):
     assert got == want
 
 
+def test_crf_predict_many_with_images_matches_predict(tokenizer):
+    """Bulk multimodal inference: predict_many slices/pads the image rows
+    alongside the sentences; padded rows must stay (sentence, image)-
+    consistent so results == per-sentence predict with that row's image."""
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    pred = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                        resnet_params=resnet)
+    sents = ["the pizza was great but service slow", "bad battery",
+             "nice view from the room", "food cold", "great phone"]
+    rng = np.random.RandomState(0)
+    images = rng.randn(5, 64, 64, 3).astype(np.float32)
+    aux = rng.randn(5, 3, 64, 64, 3).astype(np.float32)
+    got = pred.predict_many(sents, images=images, aux_images=aux,
+                            batch_size=2, window=1)
+    want = [pred.predict([s], images=images[j:j + 1],
+                         aux_images=aux[j:j + 1])[0]
+            for j, s in enumerate(sents)]
+    assert got == want
+
+
+def test_span_predict_many_with_images_matches_predict(tokenizer):
+    """Same for the span pipeline: image rows enter the extraction stage as
+    visual guides, chunk by chunk, through the packed dispatch."""
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    cfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
+                 max_answer_length=4, logit_threshold=-100.0, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_span_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    pred = SpanPredictor(cfg, bert_cfg, params, tokenizer,
+                         resnet_params=resnet)
+    sents = ["great phone bad battery", "nice view", "food cold here",
+             "the pizza was great", "slow service"]
+    rng = np.random.RandomState(0)
+    images = rng.randn(5, 64, 64, 3).astype(np.float32)
+    aux = rng.randn(5, 3, 64, 64, 3).astype(np.float32)
+    got = pred.predict_many(sents, images=images, aux_images=aux,
+                            batch_size=2, window=1)
+    want = [pred.predict([s], images=images[j:j + 1],
+                         aux_images=aux[j:j + 1])[0]
+            for j, s in enumerate(sents)]
+    assert got == want
+
+
 def test_span_predictor_with_digcn(tokenizer):
     """A DiGCN-trained span model must serve: with side arrays the eval
     classification re-encodes through compression + DiGCN; without them
