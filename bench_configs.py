@@ -149,7 +149,8 @@ def _timed_ms(fn) -> float:
     return (time.perf_counter() - t0) * 1e3
 
 
-def _time_crf_serving(cfg, bert_cfg, n_batches: int = 12, batch: int = 16):
+def _time_crf_serving(cfg, bert_cfg, n_batches: int = 12, batch: int = 16,
+                      record_row=None):
     """Raw-text serving through the production CrfPredictor: tokenize →
     jitted decode → host tag extraction, per fixed-size batch (one program)."""
     import os
@@ -187,10 +188,13 @@ def _time_crf_serving(cfg, bert_cfg, n_batches: int = 12, batch: int = 16):
             results = predictor.predict_many(stream, batch_size=batch)
             dt = min(dt, time.perf_counter() - t0)
             assert len(results) == len(stream)
-        print(json.dumps({"config": "c6_crf_serving_latency",
-                          "desc": f"single predict() call, b{batch}",
-                          "value": round(latency_ms, 2), "unit": "ms"}),
-              flush=True)
+        row = {"config": "c6_crf_serving_latency"
+                         + ("" if batch == 16 else f"_b{batch}"),
+               "desc": f"single predict() call, b{batch}",
+               "value": round(latency_ms, 2), "unit": "ms"}
+        print(json.dumps(row), flush=True)
+        if record_row is not None:   # persist alongside the throughput rows
+            record_row(row)
         return len(stream) / dt
 
 
@@ -283,7 +287,8 @@ def main(argv=None):
     # 6. Raw-text serving (production inference API, text-only CRF model).
     record("c6_crf_serving",
            "CrfPredictor raw text -> (term, polarity), b16 s128",
-           lambda: _time_crf_serving(Config(dataset_name="twitter2015"), bc),
+           lambda: _time_crf_serving(Config(dataset_name="twitter2015"), bc,
+                                     record_row=rows.append),
            unit="sentences/s")
 
     # 6b. Offline serving at the throughput-optimal batch — the online
@@ -292,7 +297,8 @@ def main(argv=None):
     record("c6_crf_serving_b64",
            "CrfPredictor predict_many, b64 s128 (top ladder rung)",
            lambda: _time_crf_serving(Config(dataset_name="twitter2015"), bc,
-                                     n_batches=8, batch=64),
+                                     n_batches=8, batch=64,
+                                     record_row=rows.append),
            unit="sentences/s")
 
     _write_merged(rows, merge=only is not None)

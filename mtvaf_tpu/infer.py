@@ -31,6 +31,17 @@ from .train.steps import (make_classification_step, make_crf_decode_step,
                           make_extraction_step)
 
 
+def _check_aligned(n_sentences: int, images, aux_images) -> None:
+    """Fail fast when image arrays don't align with the sentence list —
+    a short array would otherwise surface chunks later as an opaque XLA
+    shape mismatch (0-row slice through _pad_rows) mid-stream."""
+    for name, a in (("images", images), ("aux_images", aux_images)):
+        if a is not None and len(a) != n_sentences:
+            raise ValueError(
+                f"{name} has {len(a)} rows but there are {n_sentences} "
+                f"sentences; per-sentence image rows must align 1:1")
+
+
 def _pad_rows(a, n: int):
     """Pad array ``a`` to ``n`` rows by repeating its last row (None passes
     through) — the tail-batch twin of repeating the last sentence, so padded
@@ -128,6 +139,49 @@ class _PredictorBase:
             self._packed_fns[key] = fn
         return fn(self.params, buf, extra)
 
+    def _dispatch_packed(self, name: str, program, host: Dict, images,
+                         aux_images):
+        """One device call per batch even when it carries images.
+
+        Text-only batches go straight to :meth:`_run_packed`.  Multimodal
+        batches append the fp32 image rows to the SAME packed buffer and the
+        frozen-ResNet guide computation runs INSIDE the compiled program —
+        vs the earlier per-leaf path (2 image uploads + a separate guide
+        dispatch + the decode dispatch = 4 tunnel RPCs per batch), the whole
+        batch is now upload + guides + decode in one dispatch.  The bytes
+        still dominate on tunneled backends (~38 MB per multimodal b16 at
+        fp32), but they ride a single transfer per docs/DESIGN.md §8b, and
+        the guide matmuls overlap the next batch's host work in pipelined
+        callers (predict_many / serve.BatchingServer)."""
+        if self._guide_fn is None or images is None:
+            return self._run_packed(name, program, host, {})
+        from .train.ingest import pack_host, unpack_program
+        images = np.asarray(images, np.float32)
+        aux = np.zeros((images.shape[0], 3, 224, 224, 3), np.float32) \
+            if aux_images is None else np.asarray(aux_images, np.float32)
+        packed = pack_host({**host, "__images__": images,
+                            "__aux_images__": aux})
+        if packed is None:      # exotic leaf: per-leaf fallback, split guides
+            return self._run_packed(name, program, host,
+                                    self._guides_extra(images, aux))
+        buf, segs = packed
+        key = (name, segs, "__fused_guides__")
+        fn = self._packed_fns.get(key)
+        if fn is None:
+            unpack = unpack_program(segs)
+            depth = self.cfg.resnet_depth
+
+            def fused(p, rp, b):
+                d = unpack(b)
+                mg, ag = compute_visual_guides(
+                    rp, d.pop("__images__"), d.pop("__aux_images__"),
+                    depth=depth)
+                return program(p, {**d, "main_guides": mg, "aux_guides": ag})
+
+            fn = jax.jit(fused)
+            self._packed_fns[key] = fn
+        return fn(self.params, self.resnet_params, buf)
+
 
 class CrfPredictor(_PredictorBase):
     """Tag raw sentences; returns (term, sentiment) pairs per sentence."""
@@ -194,9 +248,10 @@ class CrfPredictor(_PredictorBase):
         custom loops) keep several batches in flight — on latency-bound
         backends the per-batch host round-trip hides behind the next
         batches' compute (the predict_many pattern, exposed)."""
+        _check_aligned(len(sentences), images, aux_images)
         host = self._make_host_batch(sentences)
-        out = self._run_packed("crf_decode", self._decode, host,
-                               self._guides_extra(images, aux_images))
+        out = self._dispatch_packed("crf_decode", self._decode, host,
+                                    images, aux_images)
         return (list(sentences), host["label_ids"], host["input_mask"], out)
 
     def collect(self, handle) -> List[List[Tuple[str, str]]]:
@@ -230,6 +285,7 @@ class CrfPredictor(_PredictorBase):
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        _check_aligned(len(sentences), images, aux_images)
         results: List[List[Tuple[str, str]]] = []
         pending = deque()
 
@@ -333,10 +389,10 @@ class SpanPredictor(_PredictorBase):
         0``); without them the eval classification skips the DiGCN
         re-encode (matching the trainers when the GCN side file is
         absent)."""
+        _check_aligned(len(sentences), images, aux_images)
         examples, feats, host = self._make_host_batch(sentences)
-        s_logits, e_logits, seq, _ = self._run_packed(
-            "span_extract", self._extract, host,
-            self._guides_extra(images, aux_images))
+        s_logits, e_logits, seq, _ = self._dispatch_packed(
+            "span_extract", self._extract, host, images, aux_images)
         if gcn is not None:
             gcn = tuple(None if g is None else jnp.asarray(g) for g in gcn)
         return (examples, feats, s_logits, e_logits, seq, gcn)
@@ -385,6 +441,7 @@ class SpanPredictor(_PredictorBase):
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        _check_aligned(len(sentences), images, aux_images)
         results: List[List[Tuple[str, str]]] = []
         pending_ext = deque()
         pending_cls = deque()
@@ -425,9 +482,8 @@ class SpanPredictor(_PredictorBase):
                 aux = None if aux_images is None else \
                     _pad_rows(aux_images[i:i + batch_size], len(chunk))
                 examples, feats, host = self._make_host_batch(chunk)
-                s_logits, e_logits, seq, _ = self._run_packed(
-                    "span_extract", self._extract, host,
-                    self._guides_extra(img, aux))
+                s_logits, e_logits, seq, _ = self._dispatch_packed(
+                    "span_extract", self._extract, host, img, aux)
                 pending_ext.append(
                     (n, examples, feats,
                      fetcher.submit(np.asarray,

@@ -148,6 +148,42 @@ def test_span_predict_many_with_images_matches_predict(tokenizer):
     assert got == want
 
 
+def test_misaligned_image_rows_fail_fast(tokenizer):
+    """images/aux_images shorter (or longer) than the sentence list must
+    raise a clear ValueError at call time, not surface chunks later as an
+    XLA shape mismatch (0-row slice through _pad_rows) mid-stream."""
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    pred = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                        resnet_params=resnet)
+    sents = ["a b", "c d", "e f"]
+    short = np.zeros((2, 64, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="images has 2 rows"):
+        pred.predict_many(sents, images=short)
+    with pytest.raises(ValueError, match="images has 2 rows"):
+        pred.dispatch(sents, images=short)
+    with pytest.raises(ValueError, match="aux_images has 2 rows"):
+        pred.predict_many(sents, images=np.zeros((3, 64, 64, 3), np.float32),
+                          aux_images=np.zeros((2, 3, 64, 64, 3), np.float32))
+
+    scfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
+                  max_answer_length=4, logit_threshold=-100.0, bf16=False,
+                  use_prefix=True, use_18=True, prefix_len=4)
+    sparams = init_span_model_params(jax.random.PRNGKey(0), scfg, bert_cfg)
+    spred = SpanPredictor(scfg, bert_cfg, sparams, tokenizer,
+                          resnet_params=resnet)
+    with pytest.raises(ValueError, match="images has 2 rows"):
+        spred.predict_many(sents, images=short)
+    with pytest.raises(ValueError, match="images has 2 rows"):
+        spred.dispatch(sents, images=short)
+
+
 def test_span_predictor_with_digcn(tokenizer):
     """A DiGCN-trained span model must serve: with side arrays the eval
     classification re-encodes through compression + DiGCN; without them

@@ -329,7 +329,7 @@ def test_warmup_compiles_image_programs_for_prefix_predictor():
     with BatchingServer(pred, max_wait_ms=2.0, batch_shapes=(1, 2)) as server:
         server.warmup()
     extras = {key[2] for key in pred._packed_fns}      # (name, segs, extras)
-    assert ("aux_guides", "main_guides") in extras     # image program warm
+    assert "__fused_guides__" in extras    # fused image+guides program warm
     assert () in extras                                # text program warm
 
 
