@@ -198,6 +198,57 @@ def _time_crf_serving(cfg, bert_cfg, n_batches: int = 12, batch: int = 16,
         return len(stream) / dt
 
 
+def _time_mm_serving(cfg, bert_cfg, n_batches: int = 6, batch: int = 16,
+                     image_dtype="float32"):
+    """Multimodal raw-text serving: per-sentence 224x224 images (+3 aux
+    crops) ride the packed dispatch and the frozen-ResNet guides run inside
+    the compiled decode program (infer._dispatch_packed).  On tunneled
+    backends this row is upload-bound (~38 MB per fp32 b16 batch at
+    ~38 MB/s); image_dtype=float16 halves those bytes.  On directly
+    attached hosts the same path is PCIe-bound and far faster."""
+    import os
+    import tempfile
+
+    import jax
+
+    from mtvaf_tpu.data.synthetic import make_vocab_file
+    from mtvaf_tpu.data.tokenization import FullTokenizer
+    from mtvaf_tpu.infer import CrfPredictor
+    from mtvaf_tpu.kernels.prefix_attention import select_attention_impl
+    from mtvaf_tpu.nn.models import init_crf_model_params
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    with tempfile.TemporaryDirectory() as d:
+        make_vocab_file(os.path.join(d, "vocab.txt"))
+        tok = FullTokenizer(os.path.join(d, "vocab.txt"))
+        import dataclasses
+        bc = dataclasses.replace(bert_cfg, vocab_size=max(len(tok.vocab), 128))
+        params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bc)
+        resnet = init_resnet_params(jax.random.PRNGKey(1),
+                                    depth=cfg.resnet_depth)
+        predictor = CrfPredictor(cfg, bc, params, tok, resnet_params=resnet,
+                                 attention_impl=select_attention_impl(
+                                     cfg, False),
+                                 image_dtype=image_dtype)
+        rng = np.random.RandomState(0)
+        words = [w for w in tok.vocab if w.isalpha()][:200] or ["food"]
+        n = n_batches * batch
+        stream = [" ".join(rng.choice(words, size=12)) for _ in range(n)]
+        imgs = rng.rand(n, 224, 224, 3).astype(np.float32)
+        aux = rng.rand(n, 3, 224, 224, 3).astype(np.float32)
+        predictor.predict(stream[:batch], images=imgs[:batch],
+                          aux_images=aux[:batch])           # compile
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            results = predictor.predict_many(stream, images=imgs,
+                                             aux_images=aux,
+                                             batch_size=batch)
+            dt = min(dt, time.perf_counter() - t0)
+            assert len(results) == len(stream)
+        return len(stream) / dt
+
+
 def main(argv=None):
     import argparse
     from fnmatch import fnmatch
@@ -299,6 +350,18 @@ def main(argv=None):
            lambda: _time_crf_serving(Config(dataset_name="twitter2015"), bc,
                                      n_batches=8, batch=64,
                                      record_row=rows.append),
+           unit="sentences/s")
+
+    # 7. Multimodal serving: per-sentence images through the fused
+    # image+guides packed dispatch (c3's prefix CRF model, ResNet-152).
+    cfg7 = Config(dataset_name="twitter2017", use_prefix=True, use_152=True)
+    record("c7_mm_serving",
+           "CrfPredictor + per-sentence 224px images (fp32 transfer), b16",
+           lambda: _time_mm_serving(cfg7, bc),
+           unit="sentences/s")
+    record("c7_mm_serving_fp16",
+           "same, --image_dtype float16 (half the upload bytes)",
+           lambda: _time_mm_serving(cfg7, bc, image_dtype="float16"),
            unit="sentences/s")
 
     _write_merged(rows, merge=only is not None)

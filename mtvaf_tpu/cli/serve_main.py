@@ -219,6 +219,11 @@ def main(argv=None):
                         "once this many are already waiting (default "
                         "unbounded; production: a few top-rung batches, "
                         "e.g. 4x the largest batch shape)")
+    p.add_argument("--image_dtype", default="float32",
+                   choices=("float32", "float16"),
+                   help="host->device transfer dtype for image rows "
+                        "(float16 halves the multimodal upload bytes; cast "
+                        "back to fp32 on device before the frozen ResNet)")
     p.add_argument("--serve_devices", default="1",
                    help="'auto' = one predictor replica per local chip "
                         "(data-parallel serving: shared queue, one dispatch "
@@ -253,7 +258,8 @@ def main(argv=None):
     else:
         from ..infer import load_predictor
         logger.info("loading predictor from %s", args.save_path)
-        predictor = load_predictor(args.save_path, bert_name=args.bert_name)
+        predictor = load_predictor(args.save_path, bert_name=args.bert_name,
+                                   image_dtype=args.image_dtype)
     if predictor.cfg.use_prefix:
         logger.warning(
             "prefix run: POST base64 'images' aligned with 'sentences' for "

@@ -19,17 +19,17 @@ what was validated and what serves).
 Scope and caveats:
 
 * CRF pipeline: the fused decode program (encoder → CRF Viterbi) per
-  rung; prefix (multimodal) runs also export the frozen-ResNet guide
-  program and a decode-with-guides variant, so exported serving accepts
-  images exactly like the live predictor.
+  rung; prefix (multimodal) runs also export a decode-with-images
+  variant whose batch carries the raw fp32 image rows and runs the
+  frozen-ResNet guide computation INSIDE the program (one device call
+  per image batch, mirroring the live predictor's fused dispatch).
 * Span pipeline: the extraction and classification programs per rung
   (the candidate-NMS seam between them is host code by design —
   eval/span_decode.py; the exported predictor reuses it).  Prefix runs
-  export the guide program and an extraction-with-guides variant like
-  the CRF pipeline, so exported span serving accepts images too.
-  DiGCN-trained span models export the no-sidecar classification
-  signature (raw-text serving has no dependency parses — same as
-  predict_many).
+  export an extraction-with-images variant like the CRF pipeline, so
+  exported span serving accepts images too.  DiGCN-trained span models
+  export the no-sidecar classification signature (raw-text serving has
+  no dependency parses — same as predict_many).
 * Artifacts lower for the platforms requested at export time
   (``platforms=("cpu", "tpu")`` by default, so one bundle serves both);
   a predictor whose eval attention resolved to the Pallas kernel
@@ -62,7 +62,8 @@ from jax import export as jax_export
 from .infer import CrfPredictor, SpanPredictor
 
 _MANIFEST = "manifest.json"
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2   # v2: fused with-images programs replace the split
+                      # guides + with-guides pair (one device call/batch)
 
 
 def _spec(shape, dtype):
@@ -192,36 +193,41 @@ def export_predictor(predictor, out_dir: str, *,
         if multimodal:
             resnet_tree = _save_weights(os.path.join(out_dir, "resnet.npz"),
                                         predictor.resnet_params)
-    def emit_guides(rung: int):
-        """Export the frozen-ResNet guide program for one rung (shared by
-        both pipelines); returns the (main, aux) guide specs the
-        with-guides decode/extract variant appends to its batch spec."""
+    def emit_mm(name: str, program, batch_spec: Dict, rung: int):
+        """Export the fused with-images variant of ``program`` for one
+        rung: the batch carries the raw fp32 image rows and the frozen-
+        ResNet guide computation runs inside the program — one device
+        call per image batch, the exported twin of the live predictor's
+        fused dispatch (infer._dispatch_packed)."""
         from .nn.models import compute_visual_guides
-        guide_fn = predictor._guide_fn
+        depth = cfg.resnet_depth
 
-        def guide_call(rp, imgs, aux):
-            return compute_visual_guides(rp, imgs, aux,
-                                         depth=cfg.resnet_depth)
+        def fused(p, rp, b):
+            b = dict(b)
+            mg, ag = compute_visual_guides(
+                rp, b.pop("__images__"), b.pop("__aux_images__"),
+                depth=depth)
+            return program(p, {**b, "main_guides": mg, "aux_guides": ag})
 
-        img_specs = [_spec((rung, 224, 224, 3), jnp.float32),
-                     _spec((rung, 3, 224, 224, 3), jnp.float32)]
+        mm_spec = {**batch_spec,
+                   "__images__": _spec((rung, 224, 224, 3), jnp.float32),
+                   "__aux_images__": _spec((rung, 3, 224, 224, 3),
+                                           jnp.float32)}
         if bake_weights:
-            emit(f"guides_b{rung}",
-                 lambda _rp, imgs, aux, _g=guide_fn: _g(imgs, aux),
-                 img_specs)
+            rparams = predictor.resnet_params
+            blob = _export_one(
+                lambda b, _f=fused: _f(params, rparams, b), [mm_spec],
+                platforms)
         else:
             blob = _export_one(
-                guide_call,
-                [_tree_spec(predictor.resnet_params)] + img_specs,
+                fused,
+                [_tree_spec(params), _tree_spec(predictor.resnet_params),
+                 mm_spec],
                 platforms)
-            fname = f"guides_b{rung}.jaxexp"
-            with open(os.path.join(out_dir, fname), "wb") as f:
-                f.write(blob)
-            programs.append({"name": f"guides_b{rung}",
-                             "file": fname, "bytes": len(blob)})
-        mg, ag = jax.eval_shape(guide_fn, *img_specs)
-        return {"main_guides": _spec(mg.shape, mg.dtype),
-                "aux_guides": _spec(ag.shape, ag.dtype)}
+        fname = name + ".jaxexp"
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(blob)
+        programs.append({"name": name, "file": fname, "bytes": len(blob)})
 
     for rung in rungs:
         if is_span:
@@ -230,8 +236,8 @@ def export_predictor(predictor, out_dir: str, *,
             emit(f"span_extract_b{rung}", extract,
                  [_span_batch_spec(cfg, rung)])
             if multimodal:
-                emit(f"span_extract_guides_b{rung}", extract,
-                     [{**_span_batch_spec(cfg, rung), **emit_guides(rung)}])
+                emit_mm(f"span_extract_images_b{rung}", extract,
+                        _span_batch_spec(cfg, rung), rung)
             # the classify program's seq input is exactly the extract
             # program's seq output — derive its spec, don't guess dtypes
             _, _, seq_shape, _ = jax.eval_shape(
@@ -252,8 +258,8 @@ def export_predictor(predictor, out_dir: str, *,
             decode = predictor._decode
             emit(f"crf_decode_b{rung}", decode, [_crf_batch_spec(cfg, rung)])
             if multimodal:
-                emit(f"crf_decode_guides_b{rung}", decode,
-                     [{**_crf_batch_spec(cfg, rung), **emit_guides(rung)}])
+                emit_mm(f"crf_decode_images_b{rung}", decode,
+                        _crf_batch_spec(cfg, rung), rung)
 
     manifest = {
         "format_version": _FORMAT_VERSION,
@@ -310,12 +316,10 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
     live predictor's own; the device call is the frozen artifact."""
 
     def __init__(self, cfg, bert_cfg, tokenizer, rungs: _ExportedRungs,
-                 guide_rungs: Optional[_ExportedRungs] = None,
                  mm_rungs: Optional[_ExportedRungs] = None,
                  weights=None, resnet_weights=None):
         super().__init__(cfg, bert_cfg, None, tokenizer)
         self._rungs = rungs
-        self._guide_rungs = guide_rungs
         self._mm_rungs = mm_rungs
         # shared-weights bundles: the param tree is the programs' leading
         # runtime argument; baked bundles have it as closure constants
@@ -347,11 +351,13 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
                                  "multimodal programs")
             mm_rung, mm_prog = self._mm_rungs.fit(n)
             assert mm_rung == rung, "rung ladders must match"
-            _, guide_prog = self._guide_rungs.fit(n)
             imgs, aux = _pad_images_to_rung(rung, images, aux_images)
-            mg, ag = guide_prog.call(*self._guide_wargs, imgs, aux)
-            out = mm_prog.call(*self._wargs,
-                               {**host, "main_guides": mg, "aux_guides": ag})
+            # one device call: the frozen program computes the ResNet
+            # guides from the raw rows (weights, resnet, batch — the
+            # warg tuples are empty for baked bundles)
+            out = mm_prog.call(*self._wargs, *self._guide_wargs,
+                               {**host, "__images__": imgs,
+                                "__aux_images__": aux})
         else:
             out = prog.call(*self._wargs, host)
         # unpadded sentences: collect's zip truncates the padding rows, so
@@ -378,18 +384,16 @@ def _pad_images_to_rung(rung: int, images, aux_images):
 class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
     """SpanPredictor served from a bundle: the host NMS seam between the
     frozen programs is the live predictor's own code; prefix bundles carry
-    the guide + extract-with-guides programs so images serve like the live
-    predictor."""
+    a fused extract-with-images program so images serve like the live
+    predictor (one device call for the extraction stage)."""
 
     def __init__(self, cfg, bert_cfg, tokenizer, extract: _ExportedRungs,
                  classify: _ExportedRungs, weights=None,
-                 guide_rungs: Optional[_ExportedRungs] = None,
                  mm_rungs: Optional[_ExportedRungs] = None,
                  resnet_weights=None):
         super().__init__(cfg, bert_cfg, None, tokenizer)
         self._extract_rungs = extract
         self._classify_rungs = classify
-        self._guide_rungs = guide_rungs
         self._mm_rungs = mm_rungs
         self._wargs = () if weights is None else (weights,)
         self._guide_wargs = () if resnet_weights is None \
@@ -418,12 +422,10 @@ class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
                                  "multimodal programs")
             mm_rung, mm_prog = self._mm_rungs.fit(n)
             assert mm_rung == rung, "rung ladders must match"
-            _, guide_prog = self._guide_rungs.fit(n)
             imgs, aux = _pad_images_to_rung(rung, images, aux_images)
-            mg, ag = guide_prog.call(*self._guide_wargs, imgs, aux)
             s_logits, e_logits, seq, _ = mm_prog.call(
-                *self._wargs,
-                {**host, "main_guides": mg, "aux_guides": ag})
+                *self._wargs, *self._guide_wargs,
+                {**host, "__images__": imgs, "__aux_images__": aux})
         else:
             s_logits, e_logits, seq, _ = prog.call(*self._wargs, host)
         return (n, examples, feats, s_logits, e_logits, seq, rung)
@@ -485,23 +487,20 @@ def load_exported_predictor(out_dir: str, tokenizer=None, *,
                 os.path.join(out_dir, "resnet.npz"),
                 manifest["resnet_tree"])
 
-    guide_rungs = mm_rungs = None
+    mm_rungs = None
     if manifest["pipeline"] == "span":
         if manifest["multimodal"]:
-            guide_rungs = load_rungs("guides")
-            mm_rungs = load_rungs("span_extract_guides")
+            mm_rungs = load_rungs("span_extract_images")
         return ExportedSpanPredictor(cfg, bert_cfg, tokenizer,
                                      load_rungs("span_extract"),
                                      load_rungs("span_classify"),
                                      weights=weights,
-                                     guide_rungs=guide_rungs,
                                      mm_rungs=mm_rungs,
                                      resnet_weights=resnet_weights)
     if manifest["multimodal"]:
-        guide_rungs = load_rungs("guides")
-        mm_rungs = load_rungs("crf_decode_guides")
+        mm_rungs = load_rungs("crf_decode_images")
     return ExportedCrfPredictor(cfg, bert_cfg, tokenizer,
                                 load_rungs("crf_decode"),
-                                guide_rungs=guide_rungs, mm_rungs=mm_rungs,
+                                mm_rungs=mm_rungs,
                                 weights=weights,
                                 resnet_weights=resnet_weights)

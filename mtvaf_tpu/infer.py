@@ -56,13 +56,24 @@ def _pad_rows(a, n: int):
 
 class _PredictorBase:
     def __init__(self, cfg: Config, bert_cfg: BertConfig, params, tokenizer,
-                 resnet_params=None, attention_impl=xla_attention):
+                 resnet_params=None, attention_impl=xla_attention,
+                 image_dtype=np.float32):
         self.cfg = cfg
         self.bert_cfg = bert_cfg
         self.params = params
         self.tokenizer = tokenizer
         self.resnet_params = resnet_params
         self.attention_impl = attention_impl
+        # host→device transfer dtype for image rows (fp32 default; fp16
+        # halves the multimodal upload — the dominant cost on tunneled
+        # links — and is cast back to fp32 on device before the frozen
+        # ResNet.  fp16's 10 mantissa bits on normalized pixels sit below
+        # the bf16 rounding the guide table already applies in training.)
+        self.image_dtype = np.dtype(image_dtype)
+        if self.image_dtype not in (np.dtype(np.float32),
+                                    np.dtype(np.float16)):
+            raise ValueError("image_dtype must be float32 or float16, got "
+                             f"{self.image_dtype}")
         self._packed_fns: Dict[tuple, object] = {}
         self._guide_fn = None
         if cfg.use_prefix and resnet_params is not None:
@@ -112,7 +123,8 @@ class _PredictorBase:
             jax.device_put(self.resnet_params, device)
         return type(self)(self.cfg, self.bert_cfg, params, self.tokenizer,
                           resnet_params=resnet,
-                          attention_impl=self.attention_impl)
+                          attention_impl=self.attention_impl,
+                          image_dtype=self.image_dtype)
 
     def _run_packed(self, name: str, program, host: Dict, extra: Dict):
         """Run ``program(params, batch)`` with the host leaves shipped as
@@ -156,14 +168,17 @@ class _PredictorBase:
         if self._guide_fn is None or images is None:
             return self._run_packed(name, program, host, {})
         from .train.ingest import pack_host, unpack_program
-        images = np.asarray(images, np.float32)
-        aux = np.zeros((images.shape[0], 3, 224, 224, 3), np.float32) \
-            if aux_images is None else np.asarray(aux_images, np.float32)
+        idt = self.image_dtype
+        images = np.asarray(images, idt)
+        aux = np.zeros((images.shape[0], 3, 224, 224, 3), idt) \
+            if aux_images is None else np.asarray(aux_images, idt)
         packed = pack_host({**host, "__images__": images,
                             "__aux_images__": aux})
         if packed is None:      # exotic leaf: per-leaf fallback, split guides
             return self._run_packed(name, program, host,
-                                    self._guides_extra(images, aux))
+                                    self._guides_extra(
+                                        np.asarray(images, np.float32),
+                                        np.asarray(aux, np.float32)))
         buf, segs = packed
         key = (name, segs, "__fused_guides__")
         fn = self._packed_fns.get(key)
@@ -173,9 +188,9 @@ class _PredictorBase:
 
             def fused(p, rp, b):
                 d = unpack(b)
-                mg, ag = compute_visual_guides(
-                    rp, d.pop("__images__"), d.pop("__aux_images__"),
-                    depth=depth)
+                imgs = d.pop("__images__").astype(jnp.float32)
+                aux_ = d.pop("__aux_images__").astype(jnp.float32)
+                mg, ag = compute_visual_guides(rp, imgs, aux_, depth=depth)
                 return program(p, {**d, "main_guides": mg, "aux_guides": ag})
 
             fn = jax.jit(fused)
@@ -500,7 +515,7 @@ class SpanPredictor(_PredictorBase):
 
 
 def load_predictor(save_path: str, *, bert_name: str = None,
-                   attention_impl=None):
+                   attention_impl=None, image_dtype=np.float32):
     """Rebuild the right predictor from a training run's save directory.
 
     Reads ``run_config.json`` (written by the CLI at train start) and
@@ -545,4 +560,5 @@ def load_predictor(save_path: str, *, bert_name: str = None,
 
     cls = SpanPredictor if cfg.is_span_pipeline else CrfPredictor
     return cls(cfg, bert_cfg, params, tokenizer,
-               resnet_params=resnet_params, attention_impl=attention_impl)
+               resnet_params=resnet_params, attention_impl=attention_impl,
+               image_dtype=image_dtype)

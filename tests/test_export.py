@@ -93,9 +93,10 @@ def test_span_bundle_roundtrip(tokenizer, tmp_path):
 
 
 def test_multimodal_span_bundle_roundtrip(tokenizer, tmp_path):
-    """Prefix span runs: the frozen guide program + extract-with-guides
-    variant reproduce the live image path (symmetric to the CRF bundle);
-    text-only requests ride the plain extract program."""
+    """Prefix span runs: the fused extract-with-images program (ResNet
+    guides computed inside — one device call) reproduces the live image
+    path (symmetric to the CRF bundle); text-only requests ride the plain
+    extract program."""
     from mtvaf_tpu.nn.resnet import init_resnet_params
 
     cfg = Config(dataset_name="twitter15", max_seq=24, n_best_size=6,
@@ -112,8 +113,8 @@ def test_multimodal_span_bundle_roundtrip(tokenizer, tmp_path):
                                 platforms=("cpu",))
     assert manifest["multimodal"]
     names = {p["name"] for p in manifest["programs"]}
-    assert names == {"span_extract_b2", "span_extract_guides_b2",
-                     "guides_b2", "span_classify_b2"}
+    assert names == {"span_extract_b2", "span_extract_images_b2",
+                     "span_classify_b2"}
 
     served = load_exported_predictor(out, tokenizer)
     assert served.serves_images and served.export_rungs == (2,)
@@ -130,8 +131,8 @@ def test_multimodal_span_bundle_roundtrip(tokenizer, tmp_path):
 
 
 def test_multimodal_crf_bundle_roundtrip(tokenizer, tmp_path):
-    """Prefix runs: the frozen guide program + decode-with-guides variant
-    reproduce the live image path; text-only requests still work."""
+    """Prefix runs: the fused decode-with-images program reproduces the
+    live image path; text-only requests still work."""
     from mtvaf_tpu.nn.resnet import init_resnet_params
 
     cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
@@ -148,7 +149,7 @@ def test_multimodal_crf_bundle_roundtrip(tokenizer, tmp_path):
                                 platforms=("cpu",), bake_weights=True)
     assert manifest["multimodal"]
     names = {p["name"] for p in manifest["programs"]}
-    assert names == {"crf_decode_b2", "guides_b2", "crf_decode_guides_b2"}
+    assert names == {"crf_decode_b2", "crf_decode_images_b2"}
 
     served = load_exported_predictor(out, tokenizer)
     assert served.serves_images and served.export_rungs == (2,)

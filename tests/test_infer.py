@@ -148,6 +148,36 @@ def test_span_predict_many_with_images_matches_predict(tokenizer):
     assert got == want
 
 
+def test_fp16_image_transfer_matches_fp32(tokenizer):
+    """image_dtype=float16 halves the multimodal upload; the rows are cast
+    back to fp32 on device, so predictions must match the fp32-transfer
+    predictor on the same inputs (fp16 rounding of normalized pixels sits
+    below the bf16 rounding the training guide table already applies)."""
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    p32 = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                       resnet_params=resnet)
+    p16 = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                       resnet_params=resnet, image_dtype="float16")
+    assert p16.to_device(jax.devices()[0]).image_dtype == np.float16
+    sents = ["the pizza was great but service slow", "bad battery",
+             "nice view from the room"]
+    rng = np.random.RandomState(0)
+    images = rng.randn(3, 64, 64, 3).astype(np.float32)
+    aux = rng.randn(3, 3, 64, 64, 3).astype(np.float32)
+    assert p16.predict(sents, images=images, aux_images=aux) == \
+        p32.predict(sents, images=images, aux_images=aux)
+    with pytest.raises(ValueError, match="image_dtype"):
+        CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                     resnet_params=resnet, image_dtype="int8")
+
+
 def test_misaligned_image_rows_fail_fast(tokenizer):
     """images/aux_images shorter (or longer) than the sentence list must
     raise a clear ValueError at call time, not surface chunks later as an
