@@ -20,9 +20,11 @@ Scope and caveats:
 
 * CRF pipeline: the fused decode program (encoder → CRF Viterbi) per
   rung; prefix (multimodal) runs also export a decode-with-images
-  variant whose batch carries the raw fp32 image rows and runs the
-  frozen-ResNet guide computation INSIDE the program (one device call
-  per image batch, mirroring the live predictor's fused dispatch).
+  variant whose batch carries the raw image rows (in the predictor's
+  ``image_dtype`` transfer precision — fp32, or fp16 at half the upload
+  bytes) and runs the frozen-ResNet guide computation INSIDE the
+  program (one device call per image batch, mirroring the live
+  predictor's fused dispatch).
 * Span pipeline: the extraction and classification programs per rung
   (the candidate-NMS seam between them is host code by design —
   eval/span_decode.py; the exported predictor reuses it).  Prefix runs
@@ -195,24 +197,25 @@ def export_predictor(predictor, out_dir: str, *,
                                         predictor.resnet_params)
     def emit_mm(name: str, program, batch_spec: Dict, rung: int):
         """Export the fused with-images variant of ``program`` for one
-        rung: the batch carries the raw fp32 image rows and the frozen-
-        ResNet guide computation runs inside the program — one device
-        call per image batch, the exported twin of the live predictor's
-        fused dispatch (infer._dispatch_packed)."""
+        rung: the batch carries the raw image rows (in the predictor's
+        ``image_dtype`` transfer precision) and the frozen-ResNet guide
+        computation runs inside the program — one device call per image
+        batch, the exported twin of the live predictor's fused dispatch
+        (infer._dispatch_packed)."""
         from .nn.models import compute_visual_guides
         depth = cfg.resnet_depth
 
         def fused(p, rp, b):
             b = dict(b)
             mg, ag = compute_visual_guides(
-                rp, b.pop("__images__"), b.pop("__aux_images__"),
-                depth=depth)
+                rp, b.pop("__images__").astype(jnp.float32),
+                b.pop("__aux_images__").astype(jnp.float32), depth=depth)
             return program(p, {**b, "main_guides": mg, "aux_guides": ag})
 
+        idt = predictor.image_dtype
         mm_spec = {**batch_spec,
-                   "__images__": _spec((rung, 224, 224, 3), jnp.float32),
-                   "__aux_images__": _spec((rung, 3, 224, 224, 3),
-                                           jnp.float32)}
+                   "__images__": _spec((rung, 224, 224, 3), idt),
+                   "__aux_images__": _spec((rung, 3, 224, 224, 3), idt)}
         if bake_weights:
             rparams = predictor.resnet_params
             blob = _export_one(
@@ -269,6 +272,7 @@ def export_predictor(predictor, out_dir: str, *,
         "weights_tree": weights_tree,
         "resnet_tree": resnet_tree,
         "rungs": list(rungs),
+        "image_dtype": predictor.image_dtype.name,
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "config": asdict(cfg),
@@ -317,8 +321,9 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
 
     def __init__(self, cfg, bert_cfg, tokenizer, rungs: _ExportedRungs,
                  mm_rungs: Optional[_ExportedRungs] = None,
-                 weights=None, resnet_weights=None):
-        super().__init__(cfg, bert_cfg, None, tokenizer)
+                 weights=None, resnet_weights=None, image_dtype=np.float32):
+        super().__init__(cfg, bert_cfg, None, tokenizer,
+                         image_dtype=image_dtype)
         self._rungs = rungs
         self._mm_rungs = mm_rungs
         # shared-weights bundles: the param tree is the programs' leading
@@ -351,7 +356,8 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
                                  "multimodal programs")
             mm_rung, mm_prog = self._mm_rungs.fit(n)
             assert mm_rung == rung, "rung ladders must match"
-            imgs, aux = _pad_images_to_rung(rung, images, aux_images)
+            imgs, aux = _pad_images_to_rung(rung, images, aux_images,
+                                            dtype=self.image_dtype)
             # one device call: the frozen program computes the ResNet
             # guides from the raw rows (weights, resnet, batch — the
             # warg tuples are empty for baked bundles)
@@ -366,16 +372,19 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
         return (sentences, host["label_ids"], host["input_mask"], out)
 
 
-def _pad_images_to_rung(rung: int, images, aux_images):
+def _pad_images_to_rung(rung: int, images, aux_images, dtype=np.float32):
     """Pad a batch's main images (and aux crops, default zeros) to the
-    rung — the frozen guide program's batch dim is the rung, not n."""
-    pad = np.zeros((rung - images.shape[0],) + images.shape[1:], np.float32)
+    rung — the frozen program's batch dim is the rung, not n — and cast
+    to the bundle's image transfer dtype."""
+    images = np.asarray(images, dtype)
+    pad = np.zeros((rung - images.shape[0],) + images.shape[1:], dtype)
     imgs = np.concatenate([images, pad]) if len(pad) else images
     if aux_images is None:
-        aux = np.zeros((imgs.shape[0], 3, 224, 224, 3), np.float32)
+        aux = np.zeros((imgs.shape[0], 3, 224, 224, 3), dtype)
     else:
+        aux_images = np.asarray(aux_images, dtype)
         apad = np.zeros((rung - aux_images.shape[0],)
-                        + aux_images.shape[1:], np.float32)
+                        + aux_images.shape[1:], dtype)
         aux = np.concatenate([aux_images, apad]) if len(apad) \
             else aux_images
     return imgs, aux
@@ -390,8 +399,9 @@ class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
     def __init__(self, cfg, bert_cfg, tokenizer, extract: _ExportedRungs,
                  classify: _ExportedRungs, weights=None,
                  mm_rungs: Optional[_ExportedRungs] = None,
-                 resnet_weights=None):
-        super().__init__(cfg, bert_cfg, None, tokenizer)
+                 resnet_weights=None, image_dtype=np.float32):
+        super().__init__(cfg, bert_cfg, None, tokenizer,
+                         image_dtype=image_dtype)
         self._extract_rungs = extract
         self._classify_rungs = classify
         self._mm_rungs = mm_rungs
@@ -422,7 +432,8 @@ class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
                                  "multimodal programs")
             mm_rung, mm_prog = self._mm_rungs.fit(n)
             assert mm_rung == rung, "rung ladders must match"
-            imgs, aux = _pad_images_to_rung(rung, images, aux_images)
+            imgs, aux = _pad_images_to_rung(rung, images, aux_images,
+                                            dtype=self.image_dtype)
             s_logits, e_logits, seq, _ = mm_prog.call(
                 *self._wargs, *self._guide_wargs,
                 {**host, "__images__": imgs, "__aux_images__": aux})
@@ -488,6 +499,7 @@ def load_exported_predictor(out_dir: str, tokenizer=None, *,
                 manifest["resnet_tree"])
 
     mm_rungs = None
+    image_dtype = np.dtype(manifest.get("image_dtype", "float32"))
     if manifest["pipeline"] == "span":
         if manifest["multimodal"]:
             mm_rungs = load_rungs("span_extract_images")
@@ -496,11 +508,13 @@ def load_exported_predictor(out_dir: str, tokenizer=None, *,
                                      load_rungs("span_classify"),
                                      weights=weights,
                                      mm_rungs=mm_rungs,
-                                     resnet_weights=resnet_weights)
+                                     resnet_weights=resnet_weights,
+                                     image_dtype=image_dtype)
     if manifest["multimodal"]:
         mm_rungs = load_rungs("crf_decode_images")
     return ExportedCrfPredictor(cfg, bert_cfg, tokenizer,
                                 load_rungs("crf_decode"),
                                 mm_rungs=mm_rungs,
                                 weights=weights,
-                                resnet_weights=resnet_weights)
+                                resnet_weights=resnet_weights,
+                                image_dtype=image_dtype)

@@ -167,6 +167,38 @@ def test_multimodal_crf_bundle_roundtrip(tokenizer, tmp_path):
         == live.predict(SENTS[:1], images=images[:1], aux_images=aux)
 
 
+def test_fp16_image_transfer_bundle_roundtrip(tokenizer, tmp_path):
+    """A bundle exported from an image_dtype=float16 predictor freezes
+    fp16 image inputs (half the upload bytes), records the dtype in the
+    manifest, and the loaded predictor reproduces the live fp16 path."""
+    import json as _json
+
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    live = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                        resnet_params=resnet, image_dtype="float16")
+
+    out = str(tmp_path / "bundle")
+    manifest = export_predictor(live, out, batch_sizes=(2,),
+                                platforms=("cpu",))
+    assert manifest["image_dtype"] == "float16"
+    with open(str(tmp_path / "bundle" / "manifest.json")) as f:
+        assert _json.load(f)["image_dtype"] == "float16"
+
+    served = load_exported_predictor(out, tokenizer)
+    assert served.image_dtype == np.float16
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 224, 224, 3).astype(np.float32)
+    assert served.predict(SENTS[:2], images=images) \
+        == live.predict(SENTS[:2], images=images)
+
+
 def test_exported_predictor_behind_batching_server(crf_predictor, tokenizer,
                                                    tmp_path):
     """The bundle slots straight into the online tier (dispatch/collect)."""
