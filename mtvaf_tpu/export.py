@@ -195,27 +195,33 @@ def export_predictor(predictor, out_dir: str, *,
         if multimodal:
             resnet_tree = _save_weights(os.path.join(out_dir, "resnet.npz"),
                                         predictor.resnet_params)
-    def emit_mm(name: str, program, batch_spec: Dict, rung: int):
+    def emit_mm(name: str, program, batch_spec: Dict, rung: int,
+                with_aux: bool = True):
         """Export the fused with-images variant of ``program`` for one
         rung: the batch carries the raw image rows (in the predictor's
         ``image_dtype`` transfer precision) and the frozen-ResNet guide
         computation runs inside the program — one device call per image
         batch, the exported twin of the live predictor's fused dispatch
-        (infer._dispatch_packed)."""
+        (infer._dispatch_packed).  ``with_aux=False`` freezes the
+        no-aux-crops signature (zero aux rows created inside the program
+        — they are 3/4 of the upload bytes otherwise; the online tier's
+        one-image-per-request case)."""
         from .nn.models import compute_visual_guides
         depth = cfg.resnet_depth
 
         def fused(p, rp, b):
             b = dict(b)
-            mg, ag = compute_visual_guides(
-                rp, b.pop("__images__").astype(jnp.float32),
-                b.pop("__aux_images__").astype(jnp.float32), depth=depth)
+            imgs = b.pop("__images__").astype(jnp.float32)
+            aux = b.pop("__aux_images__").astype(jnp.float32) if with_aux \
+                else jnp.zeros((rung, 3, 224, 224, 3), jnp.float32)
+            mg, ag = compute_visual_guides(rp, imgs, aux, depth=depth)
             return program(p, {**b, "main_guides": mg, "aux_guides": ag})
 
         idt = predictor.image_dtype
         mm_spec = {**batch_spec,
-                   "__images__": _spec((rung, 224, 224, 3), idt),
-                   "__aux_images__": _spec((rung, 3, 224, 224, 3), idt)}
+                   "__images__": _spec((rung, 224, 224, 3), idt)}
+        if with_aux:
+            mm_spec["__aux_images__"] = _spec((rung, 3, 224, 224, 3), idt)
         if bake_weights:
             rparams = predictor.resnet_params
             blob = _export_one(
@@ -241,6 +247,8 @@ def export_predictor(predictor, out_dir: str, *,
             if multimodal:
                 emit_mm(f"span_extract_images_b{rung}", extract,
                         _span_batch_spec(cfg, rung), rung)
+                emit_mm(f"span_extract_images_noaux_b{rung}", extract,
+                        _span_batch_spec(cfg, rung), rung, with_aux=False)
             # the classify program's seq input is exactly the extract
             # program's seq output — derive its spec, don't guess dtypes
             _, _, seq_shape, _ = jax.eval_shape(
@@ -263,6 +271,8 @@ def export_predictor(predictor, out_dir: str, *,
             if multimodal:
                 emit_mm(f"crf_decode_images_b{rung}", decode,
                         _crf_batch_spec(cfg, rung), rung)
+                emit_mm(f"crf_decode_images_noaux_b{rung}", decode,
+                        _crf_batch_spec(cfg, rung), rung, with_aux=False)
 
     manifest = {
         "format_version": _FORMAT_VERSION,
@@ -321,11 +331,13 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
 
     def __init__(self, cfg, bert_cfg, tokenizer, rungs: _ExportedRungs,
                  mm_rungs: Optional[_ExportedRungs] = None,
-                 weights=None, resnet_weights=None, image_dtype=np.float32):
+                 weights=None, resnet_weights=None, image_dtype=np.float32,
+                 mm_noaux_rungs: Optional[_ExportedRungs] = None):
         super().__init__(cfg, bert_cfg, None, tokenizer,
                          image_dtype=image_dtype)
         self._rungs = rungs
         self._mm_rungs = mm_rungs
+        self._mm_noaux_rungs = mm_noaux_rungs
         # shared-weights bundles: the param tree is the programs' leading
         # runtime argument; baked bundles have it as closure constants
         self._wargs = () if weights is None else (weights,)
@@ -354,16 +366,13 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
             if self._mm_rungs is None:
                 raise ValueError("bundle was exported without the "
                                  "multimodal programs")
-            mm_rung, mm_prog = self._mm_rungs.fit(n)
-            assert mm_rung == rung, "rung ladders must match"
-            imgs, aux = _pad_images_to_rung(rung, images, aux_images,
-                                            dtype=self.image_dtype)
             # one device call: the frozen program computes the ResNet
             # guides from the raw rows (weights, resnet, batch — the
             # warg tuples are empty for baked bundles)
+            mm_prog, extras = _mm_call_args(self, n, rung, images,
+                                            aux_images)
             out = mm_prog.call(*self._wargs, *self._guide_wargs,
-                               {**host, "__images__": imgs,
-                                "__aux_images__": aux})
+                               {**host, **extras})
         else:
             out = prog.call(*self._wargs, host)
         # unpadded sentences: collect's zip truncates the padding rows, so
@@ -372,22 +381,32 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
         return (sentences, host["label_ids"], host["input_mask"], out)
 
 
-def _pad_images_to_rung(rung: int, images, aux_images, dtype=np.float32):
-    """Pad a batch's main images (and aux crops, default zeros) to the
-    rung — the frozen program's batch dim is the rung, not n — and cast
-    to the bundle's image transfer dtype."""
-    images = np.asarray(images, dtype)
-    pad = np.zeros((rung - images.shape[0],) + images.shape[1:], dtype)
-    imgs = np.concatenate([images, pad]) if len(pad) else images
-    if aux_images is None:
-        aux = np.zeros((imgs.shape[0], 3, 224, 224, 3), dtype)
-    else:
-        aux_images = np.asarray(aux_images, dtype)
-        apad = np.zeros((rung - aux_images.shape[0],)
-                        + aux_images.shape[1:], dtype)
-        aux = np.concatenate([aux_images, apad]) if len(apad) \
-            else aux_images
-    return imgs, aux
+def _pad_to_rung(rung: int, arr, dtype):
+    """Zero-pad a batch array to the rung's frozen batch dim and cast to
+    the bundle's image transfer dtype."""
+    arr = np.asarray(arr, dtype)
+    pad = np.zeros((rung - arr.shape[0],) + arr.shape[1:], dtype)
+    return np.concatenate([arr, pad]) if len(pad) else arr
+
+
+def _mm_call_args(pred, n: int, rung: int, images, aux_images):
+    """(program, image-batch extras) for one exported image batch: the
+    no-aux program when the caller has no aux crops (zero rows created
+    inside the program — 3/4 of the upload bytes otherwise), else the
+    full with-images program."""
+    if aux_images is None and pred._mm_noaux_rungs is not None:
+        mm_rung, prog = pred._mm_noaux_rungs.fit(n)
+        assert mm_rung == rung, "rung ladders must match"
+        return prog, {"__images__": _pad_to_rung(rung, images,
+                                                 pred.image_dtype)}
+    mm_rung, prog = pred._mm_rungs.fit(n)
+    assert mm_rung == rung, "rung ladders must match"
+    aux = np.zeros((rung, 3, 224, 224, 3), pred.image_dtype) \
+        if aux_images is None else _pad_to_rung(rung, aux_images,
+                                                pred.image_dtype)
+    return prog, {"__images__": _pad_to_rung(rung, images,
+                                             pred.image_dtype),
+                  "__aux_images__": aux}
 
 
 class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
@@ -399,12 +418,14 @@ class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
     def __init__(self, cfg, bert_cfg, tokenizer, extract: _ExportedRungs,
                  classify: _ExportedRungs, weights=None,
                  mm_rungs: Optional[_ExportedRungs] = None,
-                 resnet_weights=None, image_dtype=np.float32):
+                 resnet_weights=None, image_dtype=np.float32,
+                 mm_noaux_rungs: Optional[_ExportedRungs] = None):
         super().__init__(cfg, bert_cfg, None, tokenizer,
                          image_dtype=image_dtype)
         self._extract_rungs = extract
         self._classify_rungs = classify
         self._mm_rungs = mm_rungs
+        self._mm_noaux_rungs = mm_noaux_rungs
         self._wargs = () if weights is None else (weights,)
         self._guide_wargs = () if resnet_weights is None \
             else (resnet_weights,)
@@ -430,13 +451,10 @@ class ExportedSpanPredictor(_NoReplicate, SpanPredictor):
             if self._mm_rungs is None:
                 raise ValueError("bundle was exported without the "
                                  "multimodal programs")
-            mm_rung, mm_prog = self._mm_rungs.fit(n)
-            assert mm_rung == rung, "rung ladders must match"
-            imgs, aux = _pad_images_to_rung(rung, images, aux_images,
-                                            dtype=self.image_dtype)
+            mm_prog, extras = _mm_call_args(self, n, rung, images,
+                                            aux_images)
             s_logits, e_logits, seq, _ = mm_prog.call(
-                *self._wargs, *self._guide_wargs,
-                {**host, "__images__": imgs, "__aux_images__": aux})
+                *self._wargs, *self._guide_wargs, {**host, **extras})
         else:
             s_logits, e_logits, seq, _ = prog.call(*self._wargs, host)
         return (n, examples, feats, s_logits, e_logits, seq, rung)
@@ -498,23 +516,27 @@ def load_exported_predictor(out_dir: str, tokenizer=None, *,
                 os.path.join(out_dir, "resnet.npz"),
                 manifest["resnet_tree"])
 
-    mm_rungs = None
+    mm_rungs = mm_noaux_rungs = None
     image_dtype = np.dtype(manifest.get("image_dtype", "float32"))
     if manifest["pipeline"] == "span":
         if manifest["multimodal"]:
             mm_rungs = load_rungs("span_extract_images")
+            mm_noaux_rungs = load_rungs("span_extract_images_noaux")
         return ExportedSpanPredictor(cfg, bert_cfg, tokenizer,
                                      load_rungs("span_extract"),
                                      load_rungs("span_classify"),
                                      weights=weights,
                                      mm_rungs=mm_rungs,
+                                     mm_noaux_rungs=mm_noaux_rungs,
                                      resnet_weights=resnet_weights,
                                      image_dtype=image_dtype)
     if manifest["multimodal"]:
         mm_rungs = load_rungs("crf_decode_images")
+        mm_noaux_rungs = load_rungs("crf_decode_images_noaux")
     return ExportedCrfPredictor(cfg, bert_cfg, tokenizer,
                                 load_rungs("crf_decode"),
                                 mm_rungs=mm_rungs,
+                                mm_noaux_rungs=mm_noaux_rungs,
                                 weights=weights,
                                 resnet_weights=resnet_weights,
                                 image_dtype=image_dtype)

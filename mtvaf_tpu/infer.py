@@ -170,15 +170,19 @@ class _PredictorBase:
         from .train.ingest import pack_host, unpack_program
         idt = self.image_dtype
         images = np.asarray(images, idt)
-        aux = np.zeros((images.shape[0], 3, 224, 224, 3), idt) \
-            if aux_images is None else np.asarray(aux_images, idt)
-        packed = pack_host({**host, "__images__": images,
-                            "__aux_images__": aux})
+        mm_host = {**host, "__images__": images}
+        if aux_images is not None:
+            # aux crops absent (e.g. one image per online request): the
+            # zero rows are created INSIDE the program instead of shipped —
+            # they are 3/4 of the multimodal upload bytes otherwise
+            mm_host["__aux_images__"] = np.asarray(aux_images, idt)
+        packed = pack_host(mm_host)
         if packed is None:      # exotic leaf: per-leaf fallback, split guides
             return self._run_packed(name, program, host,
                                     self._guides_extra(
                                         np.asarray(images, np.float32),
-                                        np.asarray(aux, np.float32)))
+                                        None if aux_images is None else
+                                        np.asarray(aux_images, np.float32)))
         buf, segs = packed
         key = (name, segs, "__fused_guides__")
         fn = self._packed_fns.get(key)
@@ -189,7 +193,9 @@ class _PredictorBase:
             def fused(p, rp, b):
                 d = unpack(b)
                 imgs = d.pop("__images__").astype(jnp.float32)
-                aux_ = d.pop("__aux_images__").astype(jnp.float32)
+                aux_ = d.pop("__aux_images__").astype(jnp.float32) \
+                    if "__aux_images__" in d else \
+                    jnp.zeros((imgs.shape[0], 3, 224, 224, 3), jnp.float32)
                 mg, ag = compute_visual_guides(rp, imgs, aux_, depth=depth)
                 return program(p, {**d, "main_guides": mg, "aux_guides": ag})
 

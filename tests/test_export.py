@@ -114,7 +114,7 @@ def test_multimodal_span_bundle_roundtrip(tokenizer, tmp_path):
     assert manifest["multimodal"]
     names = {p["name"] for p in manifest["programs"]}
     assert names == {"span_extract_b2", "span_extract_images_b2",
-                     "span_classify_b2"}
+                     "span_extract_images_noaux_b2", "span_classify_b2"}
 
     served = load_exported_predictor(out, tokenizer)
     assert served.serves_images and served.export_rungs == (2,)
@@ -149,7 +149,8 @@ def test_multimodal_crf_bundle_roundtrip(tokenizer, tmp_path):
                                 platforms=("cpu",), bake_weights=True)
     assert manifest["multimodal"]
     names = {p["name"] for p in manifest["programs"]}
-    assert names == {"crf_decode_b2", "crf_decode_images_b2"}
+    assert names == {"crf_decode_b2", "crf_decode_images_b2",
+                     "crf_decode_images_noaux_b2"}
 
     served = load_exported_predictor(out, tokenizer)
     assert served.serves_images and served.export_rungs == (2,)
