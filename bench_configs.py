@@ -199,7 +199,7 @@ def _time_crf_serving(cfg, bert_cfg, n_batches: int = 12, batch: int = 16,
 
 
 def _time_mm_serving(cfg, bert_cfg, n_batches: int = 6, batch: int = 16,
-                     image_dtype="float32"):
+                     image_dtype="float32", pass_aux: bool = True):
     """Multimodal raw-text serving: per-sentence 224x224 images (+3 aux
     crops) ride the packed dispatch and the frozen-ResNet guides run inside
     the compiled decode program (infer._dispatch_packed).  On tunneled
@@ -235,9 +235,13 @@ def _time_mm_serving(cfg, bert_cfg, n_batches: int = 6, batch: int = 16,
         n = n_batches * batch
         stream = [" ".join(rng.choice(words, size=12)) for _ in range(n)]
         imgs = rng.rand(n, 224, 224, 3).astype(np.float32)
-        aux = rng.rand(n, 3, 224, 224, 3).astype(np.float32)
+        # pass_aux=False is the online-serving shape (one image per
+        # request, zero aux rows created on device, 1/4 the upload)
+        aux = rng.rand(n, 3, 224, 224, 3).astype(np.float32) \
+            if pass_aux else None
         predictor.predict(stream[:batch], images=imgs[:batch],
-                          aux_images=aux[:batch])           # compile
+                          aux_images=None if aux is None
+                          else aux[:batch])                 # compile
         dt = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -362,6 +366,15 @@ def main(argv=None):
     record("c7_mm_serving_fp16",
            "same, --image_dtype float16 (half the upload bytes)",
            lambda: _time_mm_serving(cfg7, bc, image_dtype="float16"),
+           unit="sentences/s")
+    record("c7_mm_serving_noaux",
+           "one image/request (online shape): aux zeros on device, b16",
+           lambda: _time_mm_serving(cfg7, bc, pass_aux=False),
+           unit="sentences/s")
+    record("c7_mm_serving_noaux_fp16",
+           "same, --image_dtype float16",
+           lambda: _time_mm_serving(cfg7, bc, pass_aux=False,
+                                    image_dtype="float16"),
            unit="sentences/s")
 
     _write_merged(rows, merge=only is not None)

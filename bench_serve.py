@@ -95,8 +95,12 @@ def main():
                       "unit": "sentences/s"}))
 
 
-def _drive(BatchingServer, predictor, pool, concurrency=CONCURRENCY):
-    """Closed-loop clients against one server config; one row per K."""
+def _drive(BatchingServer, predictor, pool, concurrency=CONCURRENCY,
+           batch_shapes=BATCH_SHAPES, image=None,
+           requests_per_client=REQUESTS_PER_CLIENT):
+    """Closed-loop clients against one server config; one row per K.
+    ``image``: optional per-request image row (multimodal serving —
+    bench_serve_mm.py)."""
 
     def sentence(i):
         return pool[i % len(pool)]
@@ -105,15 +109,15 @@ def _drive(BatchingServer, predictor, pool, concurrency=CONCURRENCY):
     for k in concurrency:
         server = BatchingServer(predictor, max_wait_ms=MAX_WAIT_MS,
                                 pipeline_depth=PIPELINE_DEPTH,
-                                batch_shapes=BATCH_SHAPES)
+                                batch_shapes=batch_shapes)
         server.warmup()         # compile every rung before the clock
-        n_req = REQUESTS_PER_CLIENT * k
+        n_req = requests_per_client * k
         errors = []
 
         def client(cid):
             try:
-                for i in range(REQUESTS_PER_CLIENT):
-                    server.predict(sentence(cid * 1000 + i))
+                for i in range(requests_per_client):
+                    server.predict(sentence(cid * 1000 + i), image)
             except BaseException as e:     # pragma: no cover
                 errors.append(e)
 
