@@ -250,6 +250,13 @@ def main(argv=None):
             "per chip behind a load balancer, or serve the live run "
             "with --save_path --serve_devices auto")
     if args.bundle:
+        if args.image_dtype != "float32":
+            # frozen programs pin their image input dtype at export time
+            # (manifest image_dtype) — a runtime flag cannot change it
+            raise SystemExit(
+                "--image_dtype applies to live predictors only; bundles "
+                "freeze the transfer dtype at export (re-export from a "
+                "predictor built with image_dtype='float16')")
         from ..export import load_exported_predictor
         logger.info("loading frozen bundle from %s", args.bundle)
         predictor = load_exported_predictor(args.bundle,

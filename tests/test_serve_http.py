@@ -309,6 +309,15 @@ def test_bundle_rejects_multi_device_flag():
         main(["--bundle", "/nonexistent", "--serve_devices", "auto"])
 
 
+def test_bundle_rejects_image_dtype_flag():
+    """--bundle + --image_dtype fails at flag-parse time: frozen programs
+    pin their image transfer dtype at export (manifest image_dtype)."""
+    from mtvaf_tpu.cli.serve_main import main
+
+    with pytest.raises(SystemExit, match="image_dtype"):
+        main(["--bundle", "/nonexistent", "--image_dtype", "float16"])
+
+
 def test_http_429_when_queue_full():
     """Overload maps QueueFull to HTTP 429 (with Retry-After) and the
     rejection counter reaches /stats and /metrics."""
