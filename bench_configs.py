@@ -367,6 +367,11 @@ def main(argv=None):
            "same, --image_dtype float16 (half the upload bytes)",
            lambda: _time_mm_serving(cfg7, bc, image_dtype="float16"),
            unit="sentences/s")
+    record("c7_mm_serving_u8",
+           "same, --image_dtype uint8 (1/4 the upload bytes; on-device "
+           "re-normalize)",
+           lambda: _time_mm_serving(cfg7, bc, image_dtype="uint8"),
+           unit="sentences/s")
     record("c7_mm_serving_noaux",
            "one image/request (online shape): aux zeros on device, b16",
            lambda: _time_mm_serving(cfg7, bc, pass_aux=False),
@@ -375,6 +380,11 @@ def main(argv=None):
            "same, --image_dtype float16",
            lambda: _time_mm_serving(cfg7, bc, pass_aux=False,
                                     image_dtype="float16"),
+           unit="sentences/s")
+    record("c7_mm_serving_noaux_u8",
+           "same, --image_dtype uint8",
+           lambda: _time_mm_serving(cfg7, bc, pass_aux=False,
+                                    image_dtype="uint8"),
            unit="sentences/s")
 
     _write_merged(rows, merge=only is not None)

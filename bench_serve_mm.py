@@ -3,10 +3,10 @@ load with one image per request (the online shape — aux crop zeros are
 created on device, so a b16 batch uploads 16 main images only).
 
 Drives the c3 model family (BERT-base + visual prefix, ResNet-152) through
-the online tier at fp32 and fp16 image transfer.  On tunneled backends the
-rows are upload-bound (~9.6 MB / ~4.8 MB per b16 batch); on directly
-attached hosts the same path is PCIe-bound and far faster — the rows
-document the transfer scaling, not a device limit.
+the online tier at fp32, fp16 and uint8 image transfer.  On tunneled
+backends the rows are upload-bound (~9.6 / ~4.8 / ~2.4 MB per b16 batch);
+on directly attached hosts the same path is PCIe-bound and far faster —
+the rows document the transfer scaling, not a device limit.
 
 Writes BENCH_SERVE_MM.json.
 """
@@ -56,7 +56,7 @@ def main():
         image = rng.rand(224, 224, 3).astype(np.float32)
 
         out = {}
-        for dtype in ("float32", "float16"):
+        for dtype in ("float32", "float16", "uint8"):
             predictor = CrfPredictor(
                 cfg, bc, params, tok, resnet_params=resnet,
                 attention_impl=select_attention_impl(cfg, False),
@@ -74,10 +74,11 @@ def main():
                              f"(ResNet-152), one image/request, shapes "
                              f"{list(BATCH_SHAPES)}, no-aux fused dispatch",
                    "rows_fp32": out["float32"],
-                   "rows_fp16": out["float16"]}, f, indent=1)
+                   "rows_fp16": out["float16"],
+                   "rows_u8": out["uint8"]}, f, indent=1)
     print(json.dumps({"metric": "online_mm_serving_peak_sentences_per_sec",
                       "value": max(r["sentences_per_sec"]
-                                   for r in out["float16"]),
+                                   for r in out["uint8"]),
                       "unit": "sentences/s"}))
 
 

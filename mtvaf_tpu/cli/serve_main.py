@@ -220,10 +220,13 @@ def main(argv=None):
                         "unbounded; production: a few top-rung batches, "
                         "e.g. 4x the largest batch shape)")
     p.add_argument("--image_dtype", default="float32",
-                   choices=("float32", "float16"),
-                   help="host->device transfer dtype for image rows "
-                        "(float16 halves the multimodal upload bytes; cast "
-                        "back to fp32 on device before the frozen ResNet)")
+                   choices=("float32", "float16", "uint8"),
+                   help="host->device transfer dtype for image rows: "
+                        "float16 halves the multimodal upload bytes (cast "
+                        "back to fp32 on device); uint8 quarters them — "
+                        "rows ship as raw pixels and the ImageNet "
+                        "normalize re-runs inside the device program "
+                        "(exact for uint8-origin pixels)")
     p.add_argument("--serve_devices", default="1",
                    help="'auto' = one predictor replica per local chip "
                         "(data-parallel serving: shared queue, one dispatch "

@@ -71,6 +71,24 @@ def _normalize(img: np.ndarray) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def denormalize_to_u8(x: np.ndarray) -> np.ndarray:
+    """Normalized fp32 rows → uint8 pixels (inverse of :func:`_normalize`).
+
+    Host side of the ``image_dtype='uint8'`` transfer mode (infer.py):
+    ships image batches at 1/4 the fp32 bytes (1/2 of fp16) with the
+    re-normalization fused into the device program
+    (nn.models.image_rows_to_f32).  Pixels that came from uint8 (the PIL
+    resize path) round-trip EXACTLY — ``rint`` recovers the integer
+    through the fp32 normalize, whose accumulated rounding is ≪ 0.5 —
+    while the native path's float-precision resize quantizes by at most
+    0.5/255 per channel pre-normalize, the same error tier as the fp16
+    mode.  Out-of-range values (e.g. synthetic non-pixel data) clip.
+    """
+    x = np.asarray(x, np.float32)
+    p = np.rint((x * IMAGENET_STD + IMAGENET_MEAN) * np.float32(255.0))
+    return np.clip(p, 0.0, 255.0).astype(np.uint8)
+
+
 def process_image(path: str, *, train: bool = False,
                   rng: Optional[np.random.RandomState] = None,
                   use_native: bool = True) -> np.ndarray:

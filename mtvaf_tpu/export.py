@@ -21,8 +21,9 @@ Scope and caveats:
 * CRF pipeline: the fused decode program (encoder → CRF Viterbi) per
   rung; prefix (multimodal) runs also export a decode-with-images
   variant whose batch carries the raw image rows (in the predictor's
-  ``image_dtype`` transfer precision — fp32, or fp16 at half the upload
-  bytes) and runs the frozen-ResNet guide computation INSIDE the
+  ``image_dtype`` transfer precision — fp32; fp16 at half the upload
+  bytes; or uint8 at a quarter, re-normalized inside the program) and
+  runs the frozen-ResNet guide computation INSIDE the
   program (one device call per image batch, mirroring the live
   predictor's fused dispatch).
 * Span pipeline: the extraction and classification programs per rung
@@ -206,13 +207,13 @@ def export_predictor(predictor, out_dir: str, *,
         no-aux-crops signature (zero aux rows created inside the program
         — they are 3/4 of the upload bytes otherwise; the online tier's
         one-image-per-request case)."""
-        from .nn.models import compute_visual_guides
+        from .nn.models import compute_visual_guides, image_rows_to_f32
         depth = cfg.resnet_depth
 
         def fused(p, rp, b):
             b = dict(b)
-            imgs = b.pop("__images__").astype(jnp.float32)
-            aux = b.pop("__aux_images__").astype(jnp.float32) if with_aux \
+            imgs = image_rows_to_f32(b.pop("__images__"))
+            aux = image_rows_to_f32(b.pop("__aux_images__")) if with_aux \
                 else jnp.zeros((rung, 3, 224, 224, 3), jnp.float32)
             mg, ag = compute_visual_guides(rp, imgs, aux, depth=depth)
             return program(p, {**b, "main_guides": mg, "aux_guides": ag})
@@ -381,12 +382,25 @@ class ExportedCrfPredictor(_NoReplicate, CrfPredictor):
         return (sentences, host["label_ids"], host["input_mask"], out)
 
 
+def _cast_image_rows(arr, dtype):
+    """Normalized fp32 rows → the bundle's transfer representation (the
+    exported twin of infer._PredictorBase._cast_image_rows): plain cast
+    for fp32/fp16, de-normalized raw pixels for uint8 bundles."""
+    if np.dtype(dtype) == np.uint8:
+        from .data.images import denormalize_to_u8
+        return denormalize_to_u8(arr)
+    return np.asarray(arr, dtype)
+
+
 def _pad_to_rung(rung: int, arr, dtype):
-    """Zero-pad a batch array to the rung's frozen batch dim and cast to
-    the bundle's image transfer dtype."""
-    arr = np.asarray(arr, dtype)
-    pad = np.zeros((rung - arr.shape[0],) + arr.shape[1:], dtype)
-    return np.concatenate([arr, pad]) if len(pad) else arr
+    """Pad a batch array to the rung's frozen batch dim with NORMALIZED-
+    zero rows and cast to the bundle's image transfer dtype (for uint8
+    that means the padding rows carry the mean-pixel bytes that re-
+    normalize back to ~zero inside the program)."""
+    arr = np.asarray(arr, np.float32)
+    pad = np.zeros((rung - arr.shape[0],) + arr.shape[1:], np.float32)
+    full = np.concatenate([arr, pad]) if len(pad) else arr
+    return _cast_image_rows(full, dtype)
 
 
 def _mm_call_args(pred, n: int, rung: int, images, aux_images):
@@ -401,7 +415,10 @@ def _mm_call_args(pred, n: int, rung: int, images, aux_images):
                                                  pred.image_dtype)}
     mm_rung, prog = pred._mm_rungs.fit(n)
     assert mm_rung == rung, "rung ladders must match"
-    aux = np.zeros((rung, 3, 224, 224, 3), pred.image_dtype) \
+    # absent aux crops ship as NORMALIZED zeros in the transfer dtype
+    # (zero bytes would re-normalize to -mean/std under uint8 bundles)
+    aux = _cast_image_rows(np.zeros((rung, 3, 224, 224, 3), np.float32),
+                           pred.image_dtype) \
         if aux_images is None else _pad_to_rung(rung, aux_images,
                                                 pred.image_dtype)
     return prog, {"__images__": _pad_to_rung(rung, images,

@@ -26,7 +26,7 @@ from .data.readers import MMInputExample
 from .eval.span_decode import eval_span_candidates
 from .eval.tagging import extract_entities, labels_to_tags
 from .nn.bert import BertConfig, xla_attention
-from .nn.models import compute_visual_guides
+from .nn.models import compute_visual_guides, image_rows_to_f32
 from .train.steps import (make_classification_step, make_crf_decode_step,
                           make_extraction_step)
 
@@ -68,12 +68,17 @@ class _PredictorBase:
         # halves the multimodal upload — the dominant cost on tunneled
         # links — and is cast back to fp32 on device before the frozen
         # ResNet.  fp16's 10 mantissa bits on normalized pixels sit below
-        # the bf16 rounding the guide table already applies in training.)
+        # the bf16 rounding the guide table already applies in training.
+        # uint8 quarters the upload: the host de-normalizes back to raw
+        # pixels (data/images.denormalize_to_u8 — exact for uint8-origin
+        # pixels, ≤0.5/255 for the native float-resize path) and the
+        # normalize re-runs inside the device program.)
         self.image_dtype = np.dtype(image_dtype)
         if self.image_dtype not in (np.dtype(np.float32),
-                                    np.dtype(np.float16)):
-            raise ValueError("image_dtype must be float32 or float16, got "
-                             f"{self.image_dtype}")
+                                    np.dtype(np.float16),
+                                    np.dtype(np.uint8)):
+            raise ValueError("image_dtype must be float32, float16 or "
+                             f"uint8, got {self.image_dtype}")
         self._packed_fns: Dict[tuple, object] = {}
         self._guide_fn = None
         if cfg.use_prefix and resnet_params is not None:
@@ -98,6 +103,16 @@ class _PredictorBase:
             np.zeros((images.shape[0], 3, 224, 224, 3), np.float32)
         mg, ag = self._guide_fn(jnp.asarray(images), jnp.asarray(aux))
         return {"main_guides": mg, "aux_guides": ag}
+
+    def _cast_image_rows(self, a) -> np.ndarray:
+        """Normalized fp32 rows → this predictor's transfer representation:
+        a plain cast for fp32/fp16, or de-normalized raw pixels for uint8
+        (data/images.denormalize_to_u8; the device program re-normalizes —
+        nn.models.image_rows_to_f32)."""
+        if self.image_dtype == np.uint8:
+            from .data.images import denormalize_to_u8
+            return denormalize_to_u8(a)
+        return np.asarray(a, self.image_dtype)
 
     def _maybe_guides(self, batch: Dict, images, aux_images):
         extra = self._guides_extra(images, aux_images)
@@ -168,14 +183,13 @@ class _PredictorBase:
         if self._guide_fn is None or images is None:
             return self._run_packed(name, program, host, {})
         from .train.ingest import pack_host, unpack_program
-        idt = self.image_dtype
-        images = np.asarray(images, idt)
+        images = self._cast_image_rows(images)
         mm_host = {**host, "__images__": images}
         if aux_images is not None:
             # aux crops absent (e.g. one image per online request): the
             # zero rows are created INSIDE the program instead of shipped —
             # they are 3/4 of the multimodal upload bytes otherwise
-            mm_host["__aux_images__"] = np.asarray(aux_images, idt)
+            mm_host["__aux_images__"] = self._cast_image_rows(aux_images)
         packed = pack_host(mm_host)
         if packed is None:      # exotic leaf: per-leaf fallback, split guides
             return self._run_packed(name, program, host,
@@ -192,8 +206,8 @@ class _PredictorBase:
 
             def fused(p, rp, b):
                 d = unpack(b)
-                imgs = d.pop("__images__").astype(jnp.float32)
-                aux_ = d.pop("__aux_images__").astype(jnp.float32) \
+                imgs = image_rows_to_f32(d.pop("__images__"))
+                aux_ = image_rows_to_f32(d.pop("__aux_images__")) \
                     if "__aux_images__" in d else \
                     jnp.zeros((imgs.shape[0], 3, 224, 224, 3), jnp.float32)
                 mg, ag = compute_visual_guides(rp, imgs, aux_, depth=depth)
@@ -201,6 +215,14 @@ class _PredictorBase:
 
             fn = jax.jit(fused)
             self._packed_fns[key] = fn
+        # image buffers are MB-scale: ship via ASYNC device_put so the
+        # dispatching thread moves on to the next batch's tokenize/cast/
+        # pack while the bytes cross the link (the text path keeps the
+        # packed jit-arg transfer — measured faster for KB-scale one-shot
+        # dispatches, trainer_span.py:426 A/B; this is the same split)
+        dev = getattr(jax.tree_util.tree_leaves(self.params)[0],
+                      "device", None)
+        buf = jax.device_put(buf, dev)
         return fn(self.params, self.resnet_params, buf)
 
 

@@ -80,6 +80,24 @@ def self_attentive_pool(span_emb, span_score, span_mask):
 # Visual branch helpers.
 
 
+def image_rows_to_f32(imgs):
+    """Transfer-dtype image rows → normalized fp32, dispatched at TRACE time.
+
+    Device-side twin of the predictor's image transfer modes (infer.py
+    ``image_dtype``): fp32/fp16 rows are a plain cast; uint8 rows are raw
+    pixels shipped at 1/4 the fp32 bytes (data/images.denormalize_to_u8)
+    and re-normalized here with the SAME expression as the host pipeline
+    (data/images._normalize), so a uint8 round-trip reproduces the host
+    fp32 values exactly on uint8-origin pixels.  Works for both (B,H,W,3)
+    main rows and (B,A,H,W,3) aux crops (channel stats broadcast on the
+    trailing axis)."""
+    if imgs.dtype == jnp.uint8:
+        from ..data.images import IMAGENET_MEAN, IMAGENET_STD
+        x = imgs.astype(jnp.float32) / jnp.float32(255.0)
+        return (x - IMAGENET_MEAN) / IMAGENET_STD
+    return imgs.astype(jnp.float32)
+
+
 def compute_visual_guides(resnet_params, images, aux_imgs, *, depth: int):
     """Frozen-ResNet multi-scale guides for a batch.
 

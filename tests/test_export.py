@@ -200,6 +200,45 @@ def test_fp16_image_transfer_bundle_roundtrip(tokenizer, tmp_path):
         == live.predict(SENTS[:2], images=images)
 
 
+def test_uint8_image_transfer_bundle_roundtrip(tokenizer, tmp_path):
+    """A bundle exported from an image_dtype=uint8 predictor freezes uint8
+    image inputs (a quarter of the fp32 upload bytes; the ImageNet
+    normalize re-runs inside the frozen program), records the dtype in
+    the manifest, and the loaded predictor reproduces the live uint8
+    path — including the partial-batch pad (mean-pixel rows that
+    re-normalize to ~zero) and the explicit-aux variant."""
+    import json as _json
+
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    live = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                        resnet_params=resnet, image_dtype="uint8")
+
+    out = str(tmp_path / "bundle")
+    manifest = export_predictor(live, out, batch_sizes=(2,),
+                                platforms=("cpu",))
+    assert manifest["image_dtype"] == "uint8"
+    with open(str(tmp_path / "bundle" / "manifest.json")) as f:
+        assert _json.load(f)["image_dtype"] == "uint8"
+
+    served = load_exported_predictor(out, tokenizer)
+    assert served.image_dtype == np.uint8
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 224, 224, 3).astype(np.float32)
+    assert served.predict(SENTS[:2], images=images) \
+        == live.predict(SENTS[:2], images=images)
+    # partial batch + explicit aux crops (both pad to the frozen rung)
+    aux = rng.rand(1, 3, 224, 224, 3).astype(np.float32)
+    assert served.predict(SENTS[:1], images=images[:1], aux_images=aux) \
+        == live.predict(SENTS[:1], images=images[:1], aux_images=aux)
+
+
 def test_exported_predictor_behind_batching_server(crf_predictor, tokenizer,
                                                    tmp_path):
     """The bundle slots straight into the online tier (dispatch/collect)."""

@@ -178,6 +178,49 @@ def test_fp16_image_transfer_matches_fp32(tokenizer):
                      resnet_params=resnet, image_dtype="int8")
 
 
+def test_uint8_image_transfer_matches_fp32(tokenizer):
+    """image_dtype=uint8 quarters the multimodal upload: rows ship as raw
+    pixels (data/images.denormalize_to_u8) and the ImageNet normalize
+    re-runs inside the fused device program (nn.models.image_rows_to_f32).
+    For uint8-origin pixels — i.e. anything the PIL preprocessing path
+    produced — the round-trip is EXACT, so predictions match the fp32
+    predictor; the noaux branch (program-created zero aux rows) must stay
+    in normalized space."""
+    from mtvaf_tpu.data.images import _normalize, denormalize_to_u8
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+
+    # denormalize(normalize(p)) recovers EVERY uint8 value on EVERY channel
+    every = np.broadcast_to(np.arange(256, dtype=np.uint8).reshape(16, 16, 1),
+                            (16, 16, 3))
+    np.testing.assert_array_equal(denormalize_to_u8(_normalize(every)), every)
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    p32 = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                       resnet_params=resnet)
+    pu8 = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                       resnet_params=resnet, image_dtype="uint8")
+    assert pu8.to_device(jax.devices()[0]).image_dtype == np.uint8
+    sents = ["the pizza was great but service slow", "bad battery",
+             "nice view from the room"]
+    rng = np.random.RandomState(0)
+    images = _normalize(rng.randint(0, 256, (3, 64, 64, 3)).astype(np.uint8))
+    aux = _normalize(rng.randint(0, 256, (3, 3, 64, 64, 3)).astype(np.uint8))
+    assert pu8.predict(sents, images=images, aux_images=aux) == \
+        p32.predict(sents, images=images, aux_images=aux)
+    # one image per request, no aux crops (the online serving shape)
+    assert pu8.predict(sents, images=images) == \
+        p32.predict(sents, images=images)
+    # and through the pipelined bulk path
+    assert pu8.predict_many(sents, images=images, aux_images=aux,
+                            batch_size=2, window=1) == \
+        p32.predict(sents, images=images, aux_images=aux)
+
+
 def test_misaligned_image_rows_fail_fast(tokenizer):
     """images/aux_images shorter (or longer) than the sentence list must
     raise a clear ValueError at call time, not surface chunks later as an
