@@ -105,7 +105,10 @@ def test_http_endpoints(trained_run):
 
 def test_http_predict_with_images():
     """Prefix predictor over HTTP: base64 images flow through the eval
-    transform into visual guides; null entries run text-only."""
+    transform into visual guides; null entries run text-only.  A second
+    server over an ``image_dtype='uint8'`` predictor (quarter transfer
+    bytes, on-device re-normalize) must return identical results — the
+    decoded JPEG pixels are uint8-origin, so the round-trip is exact."""
     import base64
     import io
     from http.server import ThreadingHTTPServer
@@ -150,10 +153,28 @@ def test_http_predict_with_images():
                                {"sentences": ["great pizza", "slow service"],
                                 "images": [b64, None]})
             assert code == 200 and len(body["results"]) == 2
+            fp32_results = body["results"]
 
             code, body = _http(f"{base}/predict",
                                {"sentences": ["x"], "images": [b64, b64]})
             assert code == 400          # misaligned images rejected
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+    pred_u8 = CrfPredictor(cfg, bc, params, tok,
+                           resnet_params=init_resnet_params(
+                               jax.random.PRNGKey(1), depth=18),
+                           image_dtype="uint8")
+    with BatchingServer(pred_u8, max_batch=2, max_wait_ms=10.0) as server:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), build_app(server))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            code, body = _http(f"http://127.0.0.1:{port}/predict",
+                               {"sentences": ["great pizza", "slow service"],
+                                "images": [b64, None]})
+            assert code == 200 and body["results"] == fp32_results
         finally:
             httpd.shutdown()
             httpd.server_close()
