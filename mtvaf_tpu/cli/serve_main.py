@@ -259,7 +259,7 @@ def main(argv=None):
             raise SystemExit(
                 "--image_dtype applies to live predictors only; bundles "
                 "freeze the transfer dtype at export (re-export from a "
-                "predictor built with image_dtype='float16')")
+                "predictor built with image_dtype='float16'/'uint8')")
         from ..export import load_exported_predictor
         logger.info("loading frozen bundle from %s", args.bundle)
         predictor = load_exported_predictor(args.bundle,
