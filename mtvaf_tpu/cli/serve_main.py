@@ -214,6 +214,12 @@ def main(argv=None):
                         "rung compiles once at startup")
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--pipeline_depth", type=int, default=4)
+    p.add_argument("--partial_inflight", type=int, default=None,
+                   help="max batches already in flight at which an aged "
+                        "below-top-rung batch still dispatches (default "
+                        "min(2, pipeline_depth)); deeper pipelines hold "
+                        "partial takes for fill — under saturation the "
+                        "server then runs full top-rung batches")
     p.add_argument("--max_queue", type=int, default=None,
                    help="backpressure bound: shed requests with HTTP 429 "
                         "once this many are already waiting (default "
@@ -292,7 +298,8 @@ def main(argv=None):
                         pipeline_depth=args.pipeline_depth,
                         batch_shapes=batch_shapes,
                         devices=devices,
-                        max_queue=args.max_queue) as server:
+                        max_queue=args.max_queue,
+                        partial_inflight=args.partial_inflight) as server:
         # compile every serving rung before accepting traffic
         server.warmup()
         httpd = ThreadingHTTPServer((args.host, args.port),

@@ -26,6 +26,18 @@ Batching policy (the standard latency/throughput knobs):
                     (dispatch/collect split; per-batch host round-trips
                     hide behind the next batches' compute — essential on
                     tunneled backends where each fetch is a ~25-40 ms RPC).
+* ``partial_inflight`` — saturation FILL policy: an aged-out batch that is
+                    still below the top rung only dispatches while fewer
+                    than this many batches are in flight on the replica
+                    (default ``min(2, pipeline_depth)``).  Padding a rung
+                    behind an already-busy pipeline buys no latency — the
+                    batch just waits in line while its padding burns
+                    top-rung device cycles — so the worker holds the take
+                    until the queue fills the rung or a slot frees.  Full
+                    batches always dispatch up to ``pipeline_depth``.
+                    Under closed-loop load this converges to FULL top-rung
+                    batches (the offline ``predict_many`` rate) instead of
+                    the ~2/3-full batches the eager policy settles into.
 * ``max_queue``   — backpressure bound: with more than this many requests
                     already waiting, ``submit`` fails fast with
                     :class:`QueueFull` instead of queueing (the HTTP tier
@@ -80,7 +92,8 @@ class BatchingServer:
                  max_wait_ms: float = 5.0, pipeline_depth: int = 4,
                  batch_shapes: Optional[Sequence[int]] = None,
                  devices: Optional[Sequence[Any]] = None,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 partial_inflight: Optional[int] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if pipeline_depth < 1:
@@ -111,6 +124,21 @@ class BatchingServer:
         # next batches' compute.  Depth 1 = fully synchronous.
         self._pipeline_depth = int(pipeline_depth) \
             if hasattr(predictor, "dispatch") else 1      # depth PER replica
+        # Saturation fill policy: an aged but PARTIAL (below-top-rung) take
+        # only dispatches while fewer than this many batches are in flight
+        # on the replica.  With the pipeline already that deep, launching a
+        # padded batch buys no latency — it just queues behind the in-flight
+        # work while its padding burns top-rung device cycles — so the
+        # worker holds the take until the queue fills the top rung or a
+        # slot frees (a resolve notifies).  Depth 2 keeps the device busy
+        # (one computing, one hiding the collect RPC); beyond that the
+        # extra in-flight partials only lower the mean fill.  FULL batches
+        # always dispatch up to pipeline_depth.
+        self._partial_inflight = min(2, self._pipeline_depth) \
+            if partial_inflight is None else int(partial_inflight)
+        if self._partial_inflight < 1:
+            raise ValueError("partial_inflight must be >= 1")
+        self._inflight_n = [0] * len(self._predictors)
         from collections import deque
         self._lock = threading.Condition()
         self._queue: List[Tuple[str, Optional[Any], Future]] = []
@@ -148,7 +176,10 @@ class BatchingServer:
                 raise QueueFull(
                     f"request queue at max_queue={self._max_queue}")
             self._queue.append((sentence, image, fut))
-            self._lock.notify()
+            # notify_all: with replicas, a worker holding a partial take
+            # (pipeline busy) must not swallow the wakeup meant for an
+            # idle one
+            self._lock.notify_all()
         return fut
 
     def predict(self, sentence: str, image=None):
@@ -227,19 +258,32 @@ class BatchingServer:
 
     # --------------------------------------------------------------- worker
 
-    def _take_batch(self) -> Optional[List[Tuple[str, Optional[Any], Future]]]:
-        """Block until a batch is ready (full, aged out, or closing)."""
+    def _take_batch(self, replica: int = 0) \
+            -> Optional[List[Tuple[str, Optional[Any], Future]]]:
+        """Block until a batch is ready (full, aged out with a pipeline
+        slot worth using, or closing)."""
         with self._lock:
             while True:
                 if self._queue:
-                    deadline = self._queue[0][2]._mtvaf_t0 + self._max_wait_s
-                    if (len(self._queue) >= self._max_batch or self._closed
-                            or time.perf_counter() >= deadline):
+                    if len(self._queue) >= self._max_batch or self._closed:
                         take = self._queue[:self._max_batch]
                         del self._queue[:len(take)]
                         return take
-                    self._lock.wait(timeout=max(
-                        0.0, deadline - time.perf_counter()))
+                    deadline = self._queue[0][2]._mtvaf_t0 + self._max_wait_s
+                    if time.perf_counter() >= deadline:
+                        if (self._inflight_n[replica]
+                                < self._partial_inflight):
+                            take = self._queue[:self._max_batch]
+                            del self._queue[:len(take)]
+                            return take
+                        # Aged but partial with the pipeline already
+                        # partial_inflight deep: hold for fill.  A resolve
+                        # (guaranteed: something IS in flight) or a new
+                        # submit re-wakes this wait.
+                        self._lock.wait()
+                    else:
+                        self._lock.wait(timeout=max(
+                            0.0, deadline - time.perf_counter()))
                 elif self._closed:
                     return None
                 else:
@@ -277,12 +321,18 @@ class BatchingServer:
                 self._resolve(batch, predictor.collect(handle)[:n], replica)
             except BaseException as e:              # resolve, don't wedge
                 self._resolve(batch, e)
+            finally:
+                with self._lock:
+                    self._inflight_n[replica] -= 1
+                    # a slot freed: a worker holding a partial take may
+                    # now dispatch it
+                    self._lock.notify_all()
 
         with ThreadPoolExecutor(max_workers=self._pipeline_depth,
                                 thread_name_prefix="mtvaf-serve-fetch") \
                 as fetcher:
             while True:
-                b = self._take_batch()
+                b = self._take_batch(replica)
                 if b is None:
                     while inflight:
                         inflight.popleft().result()
@@ -308,6 +358,8 @@ class BatchingServer:
                     except BaseException as e:
                         self._resolve(b, e)
                         continue
+                    with self._lock:
+                        self._inflight_n[replica] += 1
                     inflight.append(fetcher.submit(collect_and_resolve,
                                                    b, n, handle))
                     while len(inflight) >= self._pipeline_depth:

@@ -170,6 +170,95 @@ def test_pipelined_results_and_depth_bound():
     assert fake._max_inflight >= 2
 
 
+class _GatedPipelinedFake:
+    """dispatch/collect fake whose collects block on a gate — lets a test
+    hold the pipeline at a known depth and watch the take policy."""
+
+    def __init__(self):
+        self.calls = []                  # dispatched batch sizes, in order
+        self.gate = threading.Event()
+
+    def dispatch(self, sentences, images=None, aux_images=None):
+        self.calls.append(len(sentences))
+        return list(sentences)
+
+    def collect(self, handle):
+        assert self.gate.wait(timeout=30)
+        return [[(s, "POS")] for s in handle]
+
+
+def _wait_until(cond, timeout=10.0):
+    deadline = time.perf_counter() + timeout
+    while time.perf_counter() < deadline:
+        if cond():
+            return True
+        time.sleep(0.002)
+    return cond()
+
+
+def test_partial_batches_hold_while_pipeline_busy():
+    """Saturation fill policy: with partial_inflight batches already in
+    flight, an aged below-top-rung take holds until the queue fills the
+    top rung (or a slot frees); full batches still dispatch."""
+    fake = _GatedPipelinedFake()
+    with BatchingServer(fake, batch_shapes=(2, 8), max_wait_ms=15.0,
+                        pipeline_depth=4) as server:   # partial_inflight=2
+        futs = [server.submit(f"a{i}") for i in range(2)]
+        assert _wait_until(lambda: fake.calls == [2])
+        futs += [server.submit(f"b{i}") for i in range(2)]
+        assert _wait_until(lambda: fake.calls == [2, 2])
+        # two partials in flight (gate closed): an aged third partial holds
+        futs += [server.submit(f"c{i}") for i in range(3)]
+        time.sleep(0.08)                 # >> max_wait: eager policy would
+        assert fake.calls == [2, 2]      # have dispatched a padded rung
+        # the queue reaching the top rung dispatches FULL despite the holds
+        futs += [server.submit(f"d{i}") for i in range(5)]
+        assert _wait_until(lambda: fake.calls == [2, 2, 8])
+        fake.gate.set()                  # drain
+        results = [f.result(timeout=30) for f in futs]
+    sents = (["a0", "a1"] + ["b0", "b1"] + [f"c{i}" for i in range(3)]
+             + [f"d{i}" for i in range(5)])
+    assert results == [[(s, "POS")] for s in sents]
+    assert server.stats()["served"] == 12
+
+
+def test_partial_batch_dispatches_when_slot_frees():
+    """A held partial take dispatches as soon as a collect frees a slot —
+    no new submits required."""
+    fake = _GatedPipelinedFake()
+    with BatchingServer(fake, batch_shapes=(2, 8), max_wait_ms=15.0,
+                        pipeline_depth=4) as server:
+        futs = [server.submit(f"x{i}") for i in range(2)]   # 2 partials fly
+        assert _wait_until(lambda: fake.calls == [2])
+        futs += [server.submit(f"x{i}") for i in range(2, 4)]
+        assert _wait_until(lambda: fake.calls == [2, 2])
+        futs += [server.submit("held")]                     # aged, held
+        time.sleep(0.05)
+        assert fake.calls == [2, 2]
+        fake.gate.set()                  # collects complete -> slots free
+        assert _wait_until(lambda: len(fake.calls) == 3)
+        assert fake.calls[2] == 2        # the held single rode rung 2
+        [f.result(timeout=30) for f in futs]
+
+
+def test_partial_inflight_validation_and_eager_override():
+    fake = _RecordingPredictor()
+    with pytest.raises(ValueError):
+        BatchingServer(fake, partial_inflight=0)
+    # partial_inflight >= pipeline_depth restores the eager policy: the
+    # third aged single dispatches even with two batches already in flight
+    gated = _GatedPipelinedFake()
+    with BatchingServer(gated, batch_shapes=(1, 8), max_wait_ms=1.0,
+                        pipeline_depth=3, partial_inflight=3) as server:
+        futs = []
+        for i in range(3):
+            futs.append(server.submit(f"e{i}"))
+            assert _wait_until(lambda: len(gated.calls) == i + 1)
+        assert gated.calls == [1, 1, 1]
+        gated.gate.set()
+        [f.result(timeout=30) for f in futs]
+
+
 def test_batch_shape_ladder_picks_smallest_rung():
     """Each take runs at the smallest compiled rung >= its size; the device
     only ever sees ladder shapes."""
