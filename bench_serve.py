@@ -29,7 +29,7 @@ BATCH_SHAPES = (1, 4, 16, 64)      # ladder: idle b1, saturated b64
 PIPELINE_DEPTH = 4
 MAX_WAIT_MS = 5.0
 REQUESTS_PER_CLIENT = 60
-CONCURRENCY = (1, 8, 32, 64, 128)
+CONCURRENCY = (1, 8, 32, 64, 128, 256)
 
 
 def main():
@@ -87,7 +87,9 @@ def main():
         json.dump({"config": "online BatchingServer, text CRF BERT-base "
                              f"shapes {list(BATCH_SHAPES)} s{cfg.max_seq}, "
                              f"pipeline depth {PIPELINE_DEPTH}, max_wait "
-                             f"{MAX_WAIT_MS} ms, packed one-RPC dispatch",
+                             f"{MAX_WAIT_MS} ms, packed one-RPC dispatch, "
+                             "hold-partials fill policy (partial_inflight "
+                             "default)",
                    "rows": rows,
                    "span_rows": span_rows}, f, indent=1)
     print(json.dumps({"metric": "online_serving_peak_sentences_per_sec",
