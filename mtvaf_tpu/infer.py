@@ -192,11 +192,19 @@ class _PredictorBase:
             mm_host["__aux_images__"] = self._cast_image_rows(aux_images)
         packed = pack_host(mm_host)
         if packed is None:      # exotic leaf: per-leaf fallback, split guides
+            # images/aux are already in TRANSFER representation (uint8 rows
+            # are de-normalized raw pixels) — undo it before the unfused
+            # guide program, which expects normalized fp32
+            def _to_f32(a):
+                if a.dtype == np.uint8:
+                    from .data.images import _normalize
+                    return _normalize(a)
+                return np.asarray(a, np.float32)
             return self._run_packed(name, program, host,
                                     self._guides_extra(
-                                        np.asarray(images, np.float32),
+                                        _to_f32(images),
                                         None if aux_images is None else
-                                        np.asarray(aux_images, np.float32)))
+                                        _to_f32(mm_host["__aux_images__"])))
         buf, segs = packed
         key = (name, segs, "__fused_guides__")
         fn = self._packed_fns.get(key)

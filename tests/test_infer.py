@@ -221,6 +221,36 @@ def test_uint8_image_transfer_matches_fp32(tokenizer):
         p32.predict(sents, images=images, aux_images=aux)
 
 
+def test_unpackable_fallback_undoes_transfer_dtype(tokenizer, monkeypatch):
+    """When pack_host can't serialize the batch (exotic leaf), the per-leaf
+    fallback must convert the TRANSFER-representation rows back to
+    normalized fp32 before the unfused guide program — uint8 rows are raw
+    de-normalized pixels at that point, not normalized floats."""
+    from mtvaf_tpu.data.images import _normalize
+    from mtvaf_tpu.nn.resnet import init_resnet_params
+    from mtvaf_tpu.train import ingest
+
+    cfg = Config(dataset_name="twitter2015", max_seq=24, bf16=False,
+                 use_prefix=True, use_18=True, prefix_len=4,
+                 num_anp_classes=8)
+    bert_cfg = BertConfig.tiny(vocab_size=len(tokenizer.vocab))
+    params = init_crf_model_params(jax.random.PRNGKey(0), cfg, bert_cfg)
+    resnet = init_resnet_params(jax.random.PRNGKey(1), depth=18)
+    p32 = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                       resnet_params=resnet)
+    pu8 = CrfPredictor(cfg, bert_cfg, params, tokenizer,
+                       resnet_params=resnet, image_dtype="uint8")
+    sents = ["the pizza was great but service slow", "bad battery"]
+    rng = np.random.RandomState(0)
+    images = _normalize(rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8))
+    aux = _normalize(rng.randint(0, 256, (2, 3, 64, 64, 3)).astype(np.uint8))
+    want = p32.predict(sents, images=images, aux_images=aux)
+    monkeypatch.setattr(ingest, "pack_host", lambda host: None)
+    assert pu8.predict(sents, images=images, aux_images=aux) == want
+    assert pu8.predict(sents, images=images) == \
+        p32.predict(sents, images=images)
+
+
 def test_misaligned_image_rows_fail_fast(tokenizer):
     """images/aux_images shorter (or longer) than the sentence list must
     raise a clear ValueError at call time, not surface chunks later as an
